@@ -1,0 +1,1 @@
+from .connected_graph import ConnectedGraph, Op, Product

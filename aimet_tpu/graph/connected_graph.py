@@ -1,0 +1,571 @@
+"""ConnectedGraph: an op/product IR built by tracing a JAX function's jaxpr.
+
+TPU-native equivalent of the reference's torch.jit.trace-based ConnectedGraph
+(aimet_torch/meta/connectedgraph.py:135-446) and the framework-agnostic IR
+(aimet_common/connected_graph/{connectedgraph,operation,product}.py) — but
+instead of parsing a TorchScript trace, we trace the jaxpr (free in JAX) and
+reconstruct module-level ops by dataflow classification + peephole grouping:
+
+  - every jaxpr var is classified *param-derived* (computed only from model
+    parameters/constants) or *data-derived*;
+  - weight-preprocessing eqns (producing param-derived values, e.g. BN's
+    scale/rsqrt computation) are not graph ops;
+  - bias-adds fold into their conv/dense producer; BatchNorm's elementwise
+    expansion collapses into one ``batchnorm`` op; jax.nn.softmax's 5-eqn tail
+    collapses into one ``softmax`` op; avg-pool's reduce_window+div pair
+    collapses into ``avgpool``; ``custom_jvp_call`` is classified by its inner
+    jaxpr (relu/sigmoid/tanh/...);
+  - shape-only ops (reshape/transpose/broadcast/...) are pass-through and
+    never receive quantizers.
+
+The result is a graph whose ops correspond 1:1 with the reference's wrapped
+modules, which is what the quantsim config system (supergroups, op_type
+rules) pattern-matches against.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import tree_util as jtu
+from jax.extend.core import Literal
+
+# Primitives that never get quantizers and are transparent for pattern search.
+PASSTHROUGH_PRIMS = {
+    "reshape", "transpose", "broadcast_in_dim", "squeeze", "expand_dims",
+    "slice", "dynamic_slice", "rev", "stop_gradient", "convert_element_type",
+    "copy", "device_put", "pad",
+}
+
+# Elementwise primitives that may appear in BN-style affine chains.
+ELEMENTWISE_PRIMS = {"add", "sub", "mul", "div", "max", "min"}
+
+# Raw-primitive activations.
+ACT_PRIMS = {"tanh": "tanh", "logistic": "sigmoid", "exp": "exp"}
+
+
+@dataclasses.dataclass
+class Product:
+    """A tensor edge in the graph (jaxpr var)."""
+    var: Any
+    name: str
+    shape: Tuple[int, ...]
+    dtype: Any
+    kind: str                      # 'input' | 'param' | 'activation'
+    param_path: Optional[str] = None
+    producer: Optional["Op"] = None
+    consumers: List["Op"] = dataclasses.field(default_factory=list)
+    is_model_output: bool = False
+
+
+@dataclasses.dataclass
+class Op:
+    """A module-level operation (possibly grouping several jaxpr eqns)."""
+    index: int
+    type: str
+    name: str
+    eqns: List[Any]
+    inputs: List[Product]                  # data inputs
+    output: Product                        # primary data output
+    param_products: Dict[str, Product] = dataclasses.field(default_factory=dict)
+    attrs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @property
+    def input_ops(self) -> List["Op"]:
+        return [p.producer for p in self.inputs if p.producer is not None]
+
+    @property
+    def output_ops(self) -> List["Op"]:
+        return list(self.output.consumers)
+
+    def __repr__(self):
+        return f"Op({self.name}: {self.type})"
+
+
+def _flat_prims(jaxpr, out=None):
+    """Recursively collect primitive names, descending into call-like eqns."""
+    if out is None:
+        out = []
+    for e in jaxpr.eqns:
+        desc = None
+        for key in ("call_jaxpr", "jaxpr"):
+            ij = e.params.get(key) if hasattr(e, "params") else None
+            if ij is not None:
+                desc = ij.jaxpr if hasattr(ij, "jaxpr") else ij
+                break
+        if desc is not None:
+            _flat_prims(desc, out)
+        else:
+            out.append(e.primitive.name)
+    return out
+
+
+def _classify_custom_jvp(eqn) -> str:
+    """Name the activation inside a custom_jvp_call by its inner jaxpr."""
+    inner = eqn.params.get("call_jaxpr")
+    if inner is None:
+        return "custom_jvp"
+    prims = _flat_prims(inner.jaxpr)
+    pset = set(prims)
+    if pset <= {"max", "broadcast_in_dim"}:
+        return "relu"
+    if "logistic" in pset and "mul" in pset:
+        return "silu"
+    if pset <= {"logistic"}:
+        return "sigmoid"
+    if "erf" in pset or "erfc" in pset:
+        return "gelu"
+    if "tanh" in pset and len(pset) == 1:
+        return "tanh"
+    if "tanh" in pset:
+        return "gelu"  # tanh-approx gelu
+    if pset <= {"abs", "add", "div", "mul", "sub"}:
+        return "softsign"
+    return "custom_jvp"
+
+
+class ConnectedGraph:
+    """Graph IR over a traced function ``fn(params, *inputs)``.
+
+    ``params`` is a pytree (argument 0 by convention); its leaves become
+    ``Product``s of kind 'param' named by their tree path; remaining
+    positional args' leaves become model inputs.
+    """
+
+    def __init__(self, fn, example_args, params_argnum: int = 0):
+        self.fn = fn
+        self.closed_jaxpr = jax.make_jaxpr(fn)(*example_args)
+        self.jaxpr = self.closed_jaxpr.jaxpr
+        self.consts = self.closed_jaxpr.consts
+
+        # Map flattened invars to names via the example args' tree paths.
+        flat_with_paths = []
+        for argi, arg in enumerate(example_args):
+            leaves = jtu.tree_flatten_with_path(arg)[0]
+            for path, leaf in leaves:
+                flat_with_paths.append((argi, jtu.keystr(path), leaf))
+        assert len(flat_with_paths) == len(self.jaxpr.invars), (
+            f"flattened args ({len(flat_with_paths)}) != jaxpr invars "
+            f"({len(self.jaxpr.invars)})")
+
+        self.products: Dict[int, Product] = {}
+        self.param_var_paths: Dict[int, str] = {}
+        self.input_vars: List[Any] = []
+        self._param_leaf_index: Dict[str, int] = {}
+
+        for (argi, path, leaf), var in zip(flat_with_paths, self.jaxpr.invars):
+            if argi == params_argnum:
+                kind, name = "param", path
+                self.param_var_paths[id(var)] = path
+                self._param_leaf_index[path] = len(self._param_leaf_index)
+            else:
+                kind, name = "input", f"input{argi}{path}"
+                self.input_vars.append(var)
+            self.products[id(var)] = Product(
+                var=var, name=name, shape=tuple(var.aval.shape),
+                dtype=var.aval.dtype, kind=kind,
+                param_path=path if kind == "param" else None)
+
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        jaxpr = self.jaxpr
+        # 1. dataflow classification: param-derived vars
+        param_only: Dict[int, bool] = {}
+        # roots of each param-derived var (set of param paths)
+        param_roots: Dict[int, set] = {}
+        for var in jaxpr.invars:
+            is_p = id(var) in self.param_var_paths
+            param_only[id(var)] = is_p
+            param_roots[id(var)] = {self.param_var_paths[id(var)]} if is_p else set()
+        for var in jaxpr.constvars:
+            param_only[id(var)] = True
+            param_roots[id(var)] = set()
+
+        def is_param_only(v):
+            return not hasattr(v, "aval") or isinstance(v, Literal) \
+                or param_only.get(id(v), False)
+
+        def roots_of(v):
+            if isinstance(v, Literal):
+                return set()
+            return param_roots.get(id(v), set())
+
+        for eqn in jaxpr.eqns:
+            all_param = all(is_param_only(v) for v in eqn.invars)
+            roots = set()
+            for v in eqn.invars:
+                if is_param_only(v):
+                    roots |= roots_of(v)
+            for ov in eqn.outvars:
+                param_only[id(ov)] = all_param
+                param_roots[id(ov)] = roots
+
+        self._param_only = param_only
+        self._param_roots = param_roots
+
+        # 2. raw data ops (skip param-preprocessing eqns)
+        data_eqns = [e for e in jaxpr.eqns
+                     if not all(param_only.get(id(ov), False) for ov in e.outvars)]
+
+        # producer eqn of each var
+        producer_eqn: Dict[int, Any] = {}
+        for e in jaxpr.eqns:
+            for ov in e.outvars:
+                producer_eqn[id(ov)] = e
+
+        # 3. grouping: assemble module-level ops
+        ops: List[Op] = []
+        consumed = set()  # ids of eqns folded into a previous group
+        # pass-through var aliasing: var -> underlying "semantic" var
+        alias: Dict[int, Any] = {}
+
+        def resolve(v):
+            while id(v) in alias:
+                v = alias[id(v)]
+            return v
+
+        def get_product(v, kind_hint="activation"):
+            v = resolve(v)
+            if id(v) not in self.products:
+                self.products[id(v)] = Product(
+                    var=v, name=f"act_{len(self.products)}",
+                    shape=tuple(v.aval.shape), dtype=v.aval.dtype,
+                    kind=kind_hint)
+            return self.products[id(v)]
+
+        type_counters: Dict[str, int] = {}
+
+        def new_op(op_type, eqns, data_in_vars, out_var, params=None, attrs=None):
+            n = type_counters.get(op_type, 0)
+            type_counters[op_type] = n + 1
+            inputs = [get_product(v) for v in data_in_vars
+                      if not isinstance(v, Literal)]
+            out_p = get_product(out_var)
+            op = Op(index=len(ops), type=op_type, name=f"{op_type}_{n}",
+                    eqns=list(eqns), inputs=inputs, output=out_p,
+                    param_products=params or {}, attrs=attrs or {})
+            out_p.producer = op
+            out_p.name = f"{op.name}.out"
+            for p in inputs:
+                p.consumers.append(op)
+            ops.append(op)
+            return op
+
+        def direct_param_leaf(v):
+            """If v is a (chain of) reshape/broadcast of a single param invar,
+            return that param Product, else None."""
+            seen = 0
+            while True:
+                if id(v) in self.param_var_paths:
+                    return self.products[id(v)]
+                e = producer_eqn.get(id(v))
+                if e is None or e.primitive.name not in PASSTHROUGH_PRIMS:
+                    return None
+                v = e.invars[0]
+                seen += 1
+                if seen > 4:
+                    return None
+
+        i = 0
+        eqn_list = list(jaxpr.eqns)
+        n_eqns = len(eqn_list)
+        id_to_pos = {id(e): k for k, e in enumerate(eqn_list)}
+
+        # Softmax prescan: group the 5-eqn jax.nn.softmax tail before the main
+        # loop so its interior eqns never become standalone ops.
+        softmax_groups: Dict[int, tuple] = {}
+        for eqn in eqn_list:
+            if eqn.primitive.name == "div":
+                sm = self._match_softmax(eqn, producer_eqn, resolve)
+                if sm is not None:
+                    group_eqns, src_var = sm
+                    softmax_groups[id(eqn)] = (group_eqns, src_var)
+                    for ge in group_eqns:
+                        if ge is not eqn:
+                            consumed.add(id(ge))
+
+        for eqn in eqn_list:
+            if id(eqn) in consumed:
+                continue
+            prim = eqn.primitive.name
+            # skip param-preprocessing
+            if all(param_only.get(id(ov), False) for ov in eqn.outvars):
+                continue
+
+            if prim in PASSTHROUGH_PRIMS:
+                alias[id(eqn.outvars[0])] = eqn.invars[0]
+                continue
+
+            if prim == "conv_general_dilated":
+                kernel = eqn.invars[1]
+                params = {}
+                kp = direct_param_leaf(kernel)
+                if kp is not None:
+                    params["kernel"] = kp
+                out_var = eqn.outvars[0]
+                grouped = [eqn]
+                # fold an immediately-following bias add
+                nxt = self._single_consumer(out_var, eqn_list, id_to_pos, consumed)
+                if nxt is not None and nxt.primitive.name == "add":
+                    other = nxt.invars[1] if resolve(nxt.invars[0]) is out_var else nxt.invars[0]
+                    bp = direct_param_leaf(resolve(other)) if not isinstance(other, Literal) else None
+                    if bp is not None:
+                        params["bias"] = bp
+                        grouped.append(nxt)
+                        consumed.add(id(nxt))
+                        out_var = nxt.outvars[0]
+                dn = eqn.params["dimension_numbers"]
+                attrs = {"dimension_numbers": dn,
+                         "window_strides": eqn.params["window_strides"],
+                         "padding": eqn.params["padding"],
+                         "feature_group_count": eqn.params.get("feature_group_count", 1)}
+                op_type = ("depthwise_conv"
+                           if eqn.params.get("feature_group_count", 1) > 1 else "conv")
+                new_op(op_type, grouped, [eqn.invars[0]], out_var, params, attrs)
+                continue
+
+            if prim == "dot_general":
+                lhs, rhs = eqn.invars
+                kp = direct_param_leaf(resolve(rhs))
+                params = {}
+                data_ins = [lhs]
+                if kp is not None and not param_only.get(id(resolve(lhs)), False):
+                    params["kernel"] = kp
+                    op_type = "linear"
+                else:
+                    op_type = "matmul"
+                    data_ins = [lhs, rhs]
+                out_var = eqn.outvars[0]
+                grouped = [eqn]
+                nxt = self._single_consumer(out_var, eqn_list, id_to_pos, consumed)
+                if op_type == "linear" and nxt is not None and nxt.primitive.name == "add":
+                    other = nxt.invars[1] if resolve(nxt.invars[0]) is out_var else nxt.invars[0]
+                    if not isinstance(other, Literal):
+                        bp = direct_param_leaf(resolve(other))
+                        if bp is not None:
+                            params["bias"] = bp
+                            grouped.append(nxt)
+                            consumed.add(id(nxt))
+                            out_var = nxt.outvars[0]
+                attrs = {"dimension_numbers": eqn.params["dimension_numbers"]}
+                new_op(op_type, grouped, data_ins, out_var, params, attrs)
+                continue
+
+            if prim in ELEMENTWISE_PRIMS:
+                a, b = eqn.invars[0], eqn.invars[1]
+                a_p = isinstance(a, Literal) or param_only.get(id(resolve(a)), False)
+                b_p = isinstance(b, Literal) or param_only.get(id(resolve(b)), False)
+                if a_p ^ b_p:
+                    # mixed data/param elementwise: start an affine chain (BN)
+                    grouped = [eqn]
+                    roots = set()
+                    for v in eqn.invars:
+                        if not isinstance(v, Literal) and param_only.get(id(resolve(v)), False):
+                            roots |= roots_of(resolve(v))
+                    data_in = b if a_p else a
+                    out_var = eqn.outvars[0]
+                    while True:
+                        nxt = self._single_consumer(out_var, eqn_list, id_to_pos, consumed)
+                        if nxt is None or nxt.primitive.name not in ELEMENTWISE_PRIMS:
+                            break
+                        na, nb = nxt.invars[0], nxt.invars[1]
+                        na_p = isinstance(na, Literal) or param_only.get(id(resolve(na)), False)
+                        nb_p = isinstance(nb, Literal) or param_only.get(id(resolve(nb)), False)
+                        if not (na_p ^ nb_p):
+                            break
+                        grouped.append(nxt)
+                        consumed.add(id(nxt))
+                        for v in nxt.invars:
+                            if not isinstance(v, Literal) and param_only.get(id(resolve(v)), False):
+                                roots |= roots_of(resolve(v))
+                        out_var = nxt.outvars[0]
+                    if len(grouped) >= 2 and roots:
+                        op_type = "batchnorm"
+                    elif prim == "max" and self._is_literal_zero(a if b_p is False else b, eqn):
+                        op_type = "relu"
+                    else:
+                        op_type = "scale"
+                    params = {f"p{i}": self.products[id(self.jaxpr.invars[self._find_invar(r)])]
+                              for i, r in enumerate(sorted(roots))
+                              if self._find_invar(r) is not None}
+                    new_op(op_type, grouped, [data_in], out_var,
+                           params, {"param_roots": sorted(roots)})
+                    continue
+                # data-data elementwise
+                # softmax peephole (prescanned)
+                if prim == "div" and id(eqn) in softmax_groups:
+                    group_eqns, src_var = softmax_groups[id(eqn)]
+                    new_op("softmax", group_eqns, [src_var], eqn.outvars[0])
+                    continue
+                op_type = {"add": "add", "sub": "sub", "mul": "mul",
+                           "div": "div", "max": "max", "min": "min"}[prim]
+                # max(x, 0.) / min+max with literals -> relu / clip
+                if prim == "max" and (self._is_literal_zero(a, eqn) or self._is_literal_zero(b, eqn)):
+                    op_type = "relu"
+                data_ins = [v for v in (a, b) if not isinstance(v, Literal)]
+                new_op(op_type, [eqn], data_ins, eqn.outvars[0])
+                continue
+
+            if prim == "custom_jvp_call":
+                op_type = _classify_custom_jvp(eqn)
+                new_op(op_type, [eqn], list(eqn.invars), eqn.outvars[0])
+                continue
+
+            if prim == "reduce_window_max":
+                new_op("maxpool", [eqn], [eqn.invars[0]], eqn.outvars[0],
+                       attrs=dict(eqn.params))
+                continue
+
+            if prim == "reduce_window_sum":
+                grouped = [eqn]
+                out_var = eqn.outvars[0]
+                op_type = "window_sum"
+                nxt = self._single_consumer(out_var, eqn_list, id_to_pos, consumed)
+                if nxt is not None and nxt.primitive.name == "div":
+                    grouped.append(nxt)
+                    consumed.add(id(nxt))
+                    out_var = nxt.outvars[0]
+                    op_type = "avgpool"
+                new_op(op_type, grouped, [eqn.invars[0]], out_var,
+                       attrs=dict(eqn.params))
+                continue
+
+            if prim in ("reduce_sum", "reduce_max", "reduce_min"):
+                # mean peephole: reduce_sum then div by scalar literal
+                grouped = [eqn]
+                out_var = eqn.outvars[0]
+                op_type = prim
+                nxt = self._single_consumer(out_var, eqn_list, id_to_pos, consumed)
+                if prim == "reduce_sum" and nxt is not None and nxt.primitive.name == "div":
+                    grouped.append(nxt)
+                    consumed.add(id(nxt))
+                    out_var = nxt.outvars[0]
+                    op_type = "mean"
+                new_op(op_type, grouped, [eqn.invars[0]], out_var,
+                       attrs=dict(eqn.params))
+                continue
+
+            if prim in ACT_PRIMS:
+                new_op(ACT_PRIMS[prim], [eqn], list(eqn.invars), eqn.outvars[0])
+                continue
+
+            if prim == "concatenate":
+                new_op("concat", [eqn], list(eqn.invars), eqn.outvars[0],
+                       attrs=dict(eqn.params))
+                continue
+
+            if prim == "gather":
+                # param-table gather = embedding lookup
+                operand = eqn.invars[0]
+                kp = direct_param_leaf(resolve(operand))
+                if kp is not None:
+                    new_op("embedding", [eqn], [eqn.invars[1]], eqn.outvars[0],
+                           {"kernel": kp})
+                else:
+                    new_op("gather", [eqn], list(eqn.invars), eqn.outvars[0])
+                continue
+
+            # generic math op
+            new_op(prim, [eqn], [v for v in eqn.invars
+                                 if not isinstance(v, Literal)],
+                   eqn.outvars[0])
+
+        self.ops = ops
+        self.alias = alias
+        # mark model outputs
+        out_ids = {id(resolve(v)) for v in jaxpr.outvars
+                   if not isinstance(v, Literal)}
+        for p in self.products.values():
+            if id(p.var) in out_ids:
+                p.is_model_output = True
+
+    # ------------------------------------------------------------------
+    def _find_invar(self, path):
+        for i, v in enumerate(self.jaxpr.invars):
+            if self.param_var_paths.get(id(v)) == path:
+                return i
+        return None
+
+    @staticmethod
+    def _is_literal_zero(v, eqn):
+        return isinstance(v, Literal) and getattr(v, "val", None) == 0
+
+    def _single_consumer(self, var, eqn_list, id_to_pos, consumed):
+        """The unique consuming eqn of ``var`` (ignoring consumed), or None."""
+        found = None
+        for e in eqn_list:
+            if id(e) in consumed:
+                continue
+            for v in e.invars:
+                if v is var:
+                    if found is not None:
+                        return None
+                    found = e
+        return found
+
+    def _match_softmax(self, div_eqn, producer_eqn, resolve):
+        """Match jax.nn.softmax's trailing pattern:
+        exp(x - stop_grad(max(x))) / sum(exp(...)). Returns (eqns, input_var)."""
+        num, den = div_eqn.invars
+        num_e = producer_eqn.get(id(resolve(num)))
+        if num_e is None or num_e.primitive.name != "exp":
+            return None
+        # denominator chain: broadcast_in_dim(reduce_sum(exp_out))
+        d = resolve(den)
+        de = producer_eqn.get(id(d))
+        chain = []
+        while de is not None and de.primitive.name in PASSTHROUGH_PRIMS:
+            chain.append(de)
+            d = resolve(de.invars[0])
+            de = producer_eqn.get(id(d))
+        if de is None or de.primitive.name != "reduce_sum":
+            return None
+        if resolve(de.invars[0]) is not resolve(num):
+            return None
+        group = [num_e, de] + chain + [div_eqn]
+        # walk the numerator upstream: sub(x, stop_grad-stat)
+        sub_e = producer_eqn.get(id(resolve(num_e.invars[0])))
+        src = num_e.invars[0]
+        if sub_e is not None and sub_e.primitive.name == "sub":
+            x_var, stat = sub_e.invars
+            stat_e = producer_eqn.get(id(resolve(stat)))
+            stat_chain = []
+            while stat_e is not None and stat_e.primitive.name in PASSTHROUGH_PRIMS:
+                stat_chain.append(stat_e)
+                stat_e = producer_eqn.get(id(resolve(stat_e.invars[0])))
+            stat_tail = []
+            while stat_e is not None and stat_e.primitive.name in ("max", "reduce_max"):
+                stat_tail.append(stat_e)
+                nxt = producer_eqn.get(id(resolve(stat_e.invars[-1])))
+                stat_e = nxt
+            if stat_tail:
+                group = [sub_e] + stat_chain + stat_tail + group
+                src = x_var
+        return group, src
+
+    # ------------------------------------------------------------------
+    def get_op(self, name: str) -> Op:
+        for op in self.ops:
+            if op.name == name:
+                return op
+        raise KeyError(name)
+
+    def ops_of_type(self, op_type: str) -> List[Op]:
+        return [op for op in self.ops if op.type == op_type]
+
+    def downstream_op(self, op: Op) -> Optional[Op]:
+        """The unique consumer of op's output, or None."""
+        cons = op.output.consumers
+        return cons[0] if len(cons) == 1 else None
+
+    def __repr__(self):
+        lines = [f"ConnectedGraph({len(self.ops)} ops)"]
+        for op in self.ops:
+            ins = ", ".join(p.name for p in op.inputs)
+            ps = ", ".join(f"{k}={p.param_path}" for k, p in op.param_products.items())
+            lines.append(f"  {op.name}({ins}{'; ' + ps if ps else ''}) -> {op.output.name}")
+        return "\n".join(lines)

@@ -1,0 +1,1 @@
+from .cnn import TinyCNN, TinyMLP, ConvBnRelu, ResidualBlockNet, init_model

@@ -1,0 +1,2 @@
+from .config import QuantSimConfig, OpTypeConfig
+from .qsim import QuantizationSimModel, QuantizerSpec

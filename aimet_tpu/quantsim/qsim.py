@@ -1,0 +1,535 @@
+"""QuantizationSimModel — the central quantsim API, TPU-native.
+
+Functional re-design of the reference's wrapper-module quantsim
+(aimet_torch/v1/quantsim.py:218-448, qc_quantize_op.py:198-745): instead of
+mutating a module tree, we trace the model once into a ConnectedGraph
+(jaxpr-based) and re-evaluate the jaxpr with fake-quant injected at
+configured tensors.  The reference's ANALYSIS/ACTIVE wrapper modes become
+pure functions:
+
+  - ``compute_encodings(params, data)`` — runs the *observe* interpreter
+    (jitted per batch) threading observer states as a pytree, then computes
+    encodings host-side (compute_encodings flow: v1/quantsim.py:425-448).
+  - ``quantized_fn(params, *args)`` — the *quantized* interpreter: params and
+    configured activations pass through STE fake-quant; jittable and
+    differentiable (static-grid QAT).
+  - ``qat_fn()`` — range-learning variant: encoding (min, max) become a
+    trainable pytree with the reference's analytic gradients
+    (LearnedGridQuantWrapper: qc_quantize_op.py:947).
+
+Because everything under ``jit`` is traced, the quantized function compiles
+to the same XLA program as a hand-written fake-quant model — XLA fuses the
+qdq elementwise chains into the surrounding matmuls/convs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import tree_util as jtu
+from jax.extend.core import Literal
+
+from ..graph.connected_graph import ConnectedGraph, Op
+from ..quantization.affine import AffineEncoding
+from ..quantization.encoding_analyzer import EncodingAnalyzer
+from ..quantization.grads import quantize_dequantize
+from .config import QuantSimConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizerSpec:
+    """Static configuration of one quantizer (pytree-aux safe)."""
+    name: str
+    kind: str                   # 'act' | 'param' | 'input'
+    bitwidth: int = 8
+    symmetric: bool = False
+    strict_symmetric: bool = False
+    unsigned_symmetric: bool = False
+    scheme: str = "sqnr"
+    percentile: float = 100.0
+    channel_axis: Optional[int] = None
+    enabled: bool = True
+
+
+def _eval_jaxpr_raw(jaxpr, consts, args):
+    """Plain jaxpr evaluation (no interception) used for sub-jaxprs."""
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, Literal) else env[id(v)]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[id(v)] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[id(v)] = a
+    for eqn in jaxpr.eqns:
+        outs = _eval_eqn(eqn, [read(v) for v in eqn.invars])
+        for ov, o in zip(eqn.outvars, outs):
+            env[id(ov)] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
+def _eval_eqn(eqn, invals):
+    prim = eqn.primitive
+    name = prim.name
+    if name in ("custom_jvp_call", "custom_vjp_call"):
+        closed = eqn.params["call_jaxpr"]
+        return _eval_jaxpr_raw(closed.jaxpr, closed.consts, invals)
+    if name in ("jit", "pjit", "closed_call", "core_call"):
+        closed = eqn.params["jaxpr"]
+        inner = closed.jaxpr if hasattr(closed, "jaxpr") else closed
+        consts = closed.consts if hasattr(closed, "consts") else []
+        return _eval_jaxpr_raw(inner, consts, invals)
+    if name == "remat" or name == "checkpoint":
+        inner = eqn.params["jaxpr"]
+        return _eval_jaxpr_raw(inner, (), invals)
+    out = prim.bind(*invals, **eqn.params)
+    return list(out) if prim.multiple_results else [out]
+
+
+def _broadcast_encoding(vals, x_ndim: int, channel_axis: Optional[int]):
+    """Shape per-channel (C,) encoding params for broadcasting against x."""
+    if channel_axis is None or jnp.ndim(vals) == 0:
+        return vals
+    shape = [1] * x_ndim
+    shape[channel_axis] = -1
+    return jnp.reshape(vals, shape)
+
+
+class QuantizationSimModel:
+    """Quantization simulation over an arbitrary JAX function.
+
+    Args:
+      fn: ``fn(params, *inputs) -> outputs`` (params = pytree, argument 0).
+      example_args: ``(params, *example_inputs)`` used for tracing.
+      config: :class:`QuantSimConfig` (defaults mirror the reference's
+        default_config.json).
+      quant_scheme: activation calibration scheme
+        ('minmax' | 'sqnr' | 'percentile' | 'mse' | 'entropy') — the
+        reference's QuantScheme enum (aimet_common/defs.py:50-66).
+      param_quant_scheme: scheme for parameter encodings (default 'minmax',
+        matching v2's MinMax default for params).
+    """
+
+    def __init__(self, fn, example_args, *, config: Optional[QuantSimConfig] = None,
+                 quant_scheme: str = "sqnr", param_quant_scheme: str = "minmax",
+                 default_output_bw: int = 8, default_param_bw: int = 8,
+                 percentile: float = 100.0):
+        self.fn = fn
+        self.graph = ConnectedGraph(fn, example_args)
+        self.config = config or QuantSimConfig.default()
+        self.quant_scheme = quant_scheme
+        self.param_quant_scheme = param_quant_scheme
+        self.default_output_bw = default_output_bw
+        self.default_param_bw = default_param_bw
+        self.percentile = percentile
+
+        # output tree structure (for unflattening interpreter results)
+        out_shape = jax.eval_shape(fn, *example_args)
+        self._out_tree = jtu.tree_structure(out_shape)
+
+        self.quantizers: Dict[str, QuantizerSpec] = {}
+        self._act_var_q: Dict[int, str] = {}     # id(var) -> quantizer name
+        self._param_var_q: Dict[int, str] = {}
+        self._input_var_q: Dict[int, str] = {}
+        self._encodings: Dict[str, AffineEncoding] = {}
+        self._frozen: set = set()
+        self._build_quantizers()
+
+    # ------------------------------------------------------------------
+    # Quantizer placement (QuantSimConfigurator equivalent)
+    # ------------------------------------------------------------------
+    def _supergroup_disabled_ops(self) -> set:
+        """Ops whose output quantizer is disabled because they are interior
+        to a supergroup (quantsim_config.py:74-110)."""
+        disabled = set()
+        claimed = set()
+        for pattern in self.config.supergroups:
+            for op in self.graph.ops:
+                if op.type != pattern[0] or op.name in claimed:
+                    continue
+                seq = [op]
+                cur = op
+                ok = True
+                for t in pattern[1:]:
+                    cons = cur.output.consumers
+                    if len(cons) != 1 or cons[0].type != t or cons[0].name in claimed:
+                        ok = False
+                        break
+                    cur = cons[0]
+                    seq.append(cur)
+                if ok and len(seq) == len(pattern):
+                    for o in seq[:-1]:
+                        disabled.add(o.name)
+                    claimed.update(o.name for o in seq)
+        return disabled
+
+    def _kernel_channel_axis(self, op: Op) -> Optional[int]:
+        if op.type in ("conv", "depthwise_conv", "conv_transpose"):
+            dn = op.attrs.get("dimension_numbers")
+            if dn is not None:
+                return dn.rhs_spec[0]
+            return None
+        if op.type == "linear":
+            dn = op.attrs.get("dimension_numbers")
+            kernel = op.param_products.get("kernel")
+            if dn is None or kernel is None:
+                return None
+            (lhs_c, rhs_c), _ = dn
+            free = [d for d in range(len(kernel.shape)) if d not in rhs_c]
+            return free[-1] if free else None
+        return None
+
+    def _build_quantizers(self):
+        cfg = self.config
+        disabled = self._supergroup_disabled_ops()
+
+        for op in self.graph.ops:
+            ot_cfg = cfg.op_type.get(op.type)
+
+            # --- output activation quantizer
+            out_q = cfg.output_quantized
+            if ot_cfg is not None and ot_cfg.is_output_quantized is not None:
+                out_q = ot_cfg.is_output_quantized
+            if op.type in cfg.never_quantized_types:
+                out_q = False
+            if op.name in disabled:
+                out_q = False
+            if not jnp.issubdtype(op.output.dtype, jnp.floating):
+                out_q = False
+            if out_q:
+                sym = cfg.act_symmetric
+                if ot_cfg is not None and ot_cfg.is_symmetric is not None:
+                    sym = ot_cfg.is_symmetric
+                spec = QuantizerSpec(
+                    name=op.name, kind="act", bitwidth=self.default_output_bw,
+                    symmetric=sym, strict_symmetric=cfg.strict_symmetric,
+                    unsigned_symmetric=cfg.unsigned_symmetric,
+                    scheme=self.quant_scheme, percentile=self.percentile)
+                self.quantizers[op.name] = spec
+                self._act_var_q[id(op.output.var)] = op.name
+
+            # --- parameter quantizers
+            for role, prod in op.param_products.items():
+                if prod.param_path in self.quantizers:
+                    continue
+                is_q = cfg.param_quantized
+                if role in cfg.param_overrides:
+                    is_q = cfg.param_overrides[role]
+                if ot_cfg is not None and role in ot_cfg.params_quantized:
+                    is_q = ot_cfg.params_quantized[role]
+                if role != "kernel" and role != "bias" and op.type == "batchnorm":
+                    is_q = False
+                if not is_q:
+                    continue
+                ch_axis = self._kernel_channel_axis(op) if (
+                    cfg.per_channel and role == "kernel") else None
+                spec = QuantizerSpec(
+                    name=prod.param_path, kind="param",
+                    bitwidth=self.default_param_bw,
+                    symmetric=cfg.param_symmetric,
+                    strict_symmetric=cfg.strict_symmetric,
+                    unsigned_symmetric=cfg.unsigned_symmetric,
+                    scheme=self.param_quant_scheme, channel_axis=ch_axis)
+                self.quantizers[prod.param_path] = spec
+                self._param_var_q[id(prod.var)] = prod.param_path
+
+        # --- model input quantizers
+        if cfg.model_input_quantized:
+            for i, var in enumerate(self.graph.input_vars):
+                if not jnp.issubdtype(var.aval.dtype, jnp.floating):
+                    continue
+                name = f"model_input_{i}"
+                self.quantizers[name] = QuantizerSpec(
+                    name=name, kind="input", bitwidth=self.default_output_bw,
+                    symmetric=cfg.act_symmetric,
+                    strict_symmetric=cfg.strict_symmetric,
+                    unsigned_symmetric=cfg.unsigned_symmetric,
+                    scheme=self.quant_scheme, percentile=self.percentile)
+                self._input_var_q[id(var)] = name
+
+    # ------------------------------------------------------------------
+    # Interpreter
+    # ------------------------------------------------------------------
+    def _flatten_args(self, params, args):
+        flat = jtu.tree_leaves((params,) + tuple(args))
+        assert len(flat) == len(self.graph.jaxpr.invars)
+        return flat
+
+    def _qdq(self, x, name, encodings, learn_range=False):
+        spec = self.quantizers[name]
+        enc = encodings[name]
+        if isinstance(enc, AffineEncoding):
+            emin, emax = enc.min, enc.max
+        else:
+            emin, emax = enc
+        emin = _broadcast_encoding(emin, jnp.ndim(x), spec.channel_axis)
+        emax = _broadcast_encoding(emax, jnp.ndim(x), spec.channel_axis)
+        return quantize_dequantize(
+            x, emin, emax, bitwidth=spec.bitwidth, symmetric=spec.symmetric,
+            strict_symmetric=spec.strict_symmetric,
+            unsigned_symmetric=spec.unsigned_symmetric, learn_range=learn_range)
+
+    def _run(self, params, args, mode: str, obs_states=None, analyzers=None,
+             encodings=None, learn_range: bool = False,
+             capture: Optional[set] = None):
+        """Evaluate the traced jaxpr with quantization interception.
+
+        mode: 'fp' (no quant), 'observe' (params fake-quantized w/ their
+        encodings, activation observers updated), 'quantized' (full
+        fake-quant forward).
+        Returns (outputs_pytree, obs_states, captured).
+        """
+        jaxpr = self.graph.jaxpr
+        flat = self._flatten_args(params, args)
+        env: Dict[int, Any] = {}
+        captured: Dict[str, Any] = {}
+        product_names = {id(p.var): p.name for p in self.graph.products.values()}
+
+        def read(v):
+            return v.val if isinstance(v, Literal) else env[id(v)]
+
+        def maybe_capture(var, val):
+            if capture is not None:
+                nm = product_names.get(id(var))
+                if nm in capture:
+                    captured[nm] = val
+
+        for v, c in zip(jaxpr.constvars, self.graph.consts):
+            env[id(v)] = c
+
+        for var, val in zip(jaxpr.invars, flat):
+            qname = self._param_var_q.get(id(var)) or self._input_var_q.get(id(var))
+            if qname is not None:
+                spec = self.quantizers[qname]
+                if spec.kind == "param":
+                    if mode in ("observe", "quantized") and encodings is not None \
+                            and qname in encodings:
+                        val = self._qdq(val, qname, encodings, learn_range)
+                else:  # model input
+                    if mode == "observe" and analyzers is not None:
+                        obs_states[qname] = analyzers[qname].update(
+                            obs_states[qname], val)
+                    elif mode == "quantized" and encodings is not None \
+                            and qname in encodings:
+                        val = self._qdq(val, qname, encodings, learn_range)
+            env[id(var)] = val
+            maybe_capture(var, val)
+
+        for eqn in jaxpr.eqns:
+            outs = _eval_eqn(eqn, [read(v) for v in eqn.invars])
+            for ov, oval in zip(eqn.outvars, outs):
+                qname = self._act_var_q.get(id(ov))
+                if qname is not None:
+                    if mode == "observe" and analyzers is not None:
+                        obs_states[qname] = analyzers[qname].update(
+                            obs_states[qname], oval)
+                    elif mode == "quantized" and encodings is not None \
+                            and qname in encodings:
+                        oval = self._qdq(oval, qname, encodings, learn_range)
+                env[id(ov)] = oval
+                maybe_capture(ov, oval)
+
+        outs = [read(v) for v in jaxpr.outvars]
+        return jtu.tree_unflatten(self._out_tree, outs), obs_states, captured
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+    def fp_fn(self, params, *args):
+        """Floating-point forward through the interpreter (sanity path)."""
+        return self._run(params, args, "fp")[0]
+
+    def compute_param_encodings(self, params):
+        """Compute parameter encodings directly from the weights
+        (StaticGridPerTensor/PerChannelQuantizer on params)."""
+        leaves = jtu.tree_leaves(params)
+        for name, spec in self.quantizers.items():
+            if spec.kind != "param" or name in self._frozen:
+                continue
+            idx = self.graph._param_leaf_index[name]
+            w = jnp.asarray(leaves[idx])
+            analyzer = EncodingAnalyzer(spec.scheme, channel_axis=spec.channel_axis,
+                                        percentile=spec.percentile)
+            st = analyzer.update(analyzer.init_state(w.shape), w)
+            self._encodings[name] = analyzer.compute(
+                st, bitwidth=spec.bitwidth, symmetric=spec.symmetric,
+                strict_symmetric=spec.strict_symmetric,
+                unsigned_symmetric=spec.unsigned_symmetric)
+
+    def compute_encodings(self, params, data_iter: Iterable, num_batches: Optional[int] = None):
+        """Calibrate: observe activations over ``data_iter`` then compute all
+        encodings (v1/quantsim.py:425-448 flow).
+
+        ``data_iter`` yields model input args: either a tuple ``(x, ...)`` or
+        a single array.
+        """
+        self.compute_param_encodings(params)
+
+        analyzers = {}
+        obs = {}
+        for name, spec in self.quantizers.items():
+            if spec.kind == "param":
+                continue
+            analyzers[name] = EncodingAnalyzer(
+                spec.scheme, channel_axis=None, percentile=spec.percentile)
+            obs[name] = analyzers[name].init_state()
+
+        @jax.jit
+        def observe_step(obs, params, *batch):
+            _, obs, _ = self._run(params, batch, "observe", obs_states=dict(obs),
+                                  analyzers=analyzers, encodings=self._encodings)
+            return obs
+
+        count = 0
+        for batch in data_iter:
+            if not isinstance(batch, (tuple, list)):
+                batch = (batch,)
+            obs = observe_step(obs, params, *batch)
+            count += 1
+            if num_batches is not None and count >= num_batches:
+                break
+        if count == 0:
+            raise RuntimeError("compute_encodings: data_iter yielded no batches")
+
+        for name, analyzer in analyzers.items():
+            if name in self._frozen:
+                continue
+            spec = self.quantizers[name]
+            self._encodings[name] = analyzer.compute(
+                obs[name], bitwidth=spec.bitwidth, symmetric=spec.symmetric,
+                strict_symmetric=spec.strict_symmetric,
+                unsigned_symmetric=spec.unsigned_symmetric)
+        return self._encodings
+
+    @property
+    def encodings(self) -> Dict[str, AffineEncoding]:
+        return self._encodings
+
+    def set_encoding(self, name: str, encoding: AffineEncoding, freeze: bool = False):
+        """Override one quantizer's encoding (set_and_freeze_param_encodings,
+        v1/quantsim.py:1839)."""
+        self._encodings[name] = encoding
+        if freeze:
+            self._frozen.add(name)
+
+    def quantized_fn(self, params, *args):
+        """The fake-quantized forward (ACTIVE mode). Jittable/differentiable;
+        encodings are constants (STE gradients for params)."""
+        if not self._encodings:
+            raise RuntimeError("call compute_encodings first")
+        return self._run(params, args, "quantized", encodings=self._encodings)[0]
+
+    def qat_fn(self):
+        """Range-learning QAT: returns ``(apply_fn, encoding_params)`` where
+        ``apply_fn(params, enc_params, *args)`` produces analytic gradients
+        for each encoding's (min, max) (LearnedGridQuantWrapper equivalent)."""
+        if not self._encodings:
+            raise RuntimeError("call compute_encodings first")
+        enc_params = {name: (enc.min, enc.max)
+                      for name, enc in self._encodings.items()}
+
+        def apply_fn(params, enc_params, *args):
+            return self._run(params, args, "quantized", encodings=enc_params,
+                             learn_range=True)[0]
+
+        return apply_fn, enc_params
+
+    def update_encodings_from_qat(self, enc_params):
+        """Fold trained (min, max) back into stored encodings."""
+        from ..quantization.affine import compute_encoding_from_min_max
+        for name, (mn, mx) in enc_params.items():
+            spec = self.quantizers[name]
+            self._encodings[name] = compute_encoding_from_min_max(
+                mn, mx, spec.bitwidth, spec.symmetric, spec.strict_symmetric,
+                spec.unsigned_symmetric)
+
+    def collect_activations(self, params, args, product_names: Sequence[str],
+                            mode: str = "fp"):
+        """Grab intermediate tensors by product name (ActivationSampler
+        equivalent — adaround/activation_sampler.py:175)."""
+        enc = self._encodings if mode == "quantized" else None
+        _, _, captured = self._run(params, args, mode, encodings=enc,
+                                   capture=set(product_names))
+        return captured
+
+    # ------------------------------------------------------------------
+    def export_encodings(self) -> Dict[str, Any]:
+        """AIMET '0.6.1' encodings JSON dict
+        (_export_encodings_to_files, v1/quantsim.py:940-1044)."""
+        def enc_entries(name):
+            enc = self._encodings[name]
+            spec = self.quantizers[name]
+            mins = np.atleast_1d(np.asarray(enc.min))
+            maxs = np.atleast_1d(np.asarray(enc.max))
+            deltas = np.atleast_1d(np.asarray(enc.delta))
+            offsets = np.atleast_1d(np.asarray(enc.offset))
+            return [{
+                "bitwidth": spec.bitwidth,
+                "dtype": "int",
+                "is_symmetric": str(spec.symmetric),
+                "min": float(mins[i]), "max": float(maxs[i]),
+                "scale": float(deltas[i]), "offset": int(offsets[i]),
+            } for i in range(mins.size)]
+
+        act, param = {}, {}
+        for name, spec in self.quantizers.items():
+            if name not in self._encodings:
+                continue
+            (param if spec.kind == "param" else act)[name] = enc_entries(name)
+        return {"version": "0.6.1",
+                "activation_encodings": act,
+                "param_encodings": param}
+
+    def export(self, path: str, prefix: str):
+        with open(f"{path}/{prefix}.encodings", "w") as f:
+            json.dump(self.export_encodings(), f, indent=2, sort_keys=True)
+
+    def load_encodings(self, encodings_dict: Dict[str, Any]):
+        """Restore encodings from an exported dict (load_encodings,
+        v1/quantsim.py:1696)."""
+        from ..quantization.affine import compute_encoding_from_min_max
+        merged = {}
+        merged.update(encodings_dict.get("activation_encodings", {}))
+        merged.update(encodings_dict.get("param_encodings", {}))
+        for name, entries in merged.items():
+            if name not in self.quantizers:
+                continue
+            spec = self.quantizers[name]
+            if all("scale" in e and "offset" in e for e in entries):
+                # exact reconstruction from the stored grid
+                deltas = jnp.asarray([e["scale"] for e in entries], jnp.float32)
+                offsets = jnp.asarray([float(e["offset"]) for e in entries],
+                                      jnp.float32)
+                mins = jnp.asarray([e["min"] for e in entries], jnp.float32)
+                maxs = jnp.asarray([e["max"] for e in entries], jnp.float32)
+                if len(entries) == 1:
+                    deltas, offsets = deltas[0], offsets[0]
+                    mins, maxs = mins[0], maxs[0]
+                self._encodings[name] = AffineEncoding(
+                    min=mins, max=maxs, delta=deltas, offset=offsets,
+                    bitwidth=spec.bitwidth, symmetric=spec.symmetric,
+                    strict_symmetric=spec.strict_symmetric,
+                    unsigned_symmetric=spec.unsigned_symmetric)
+                continue
+            mins = jnp.asarray([e["min"] for e in entries], jnp.float32)
+            maxs = jnp.asarray([e["max"] for e in entries], jnp.float32)
+            if len(entries) == 1:
+                mins, maxs = mins[0], maxs[0]
+            self._encodings[name] = compute_encoding_from_min_max(
+                mins, maxs, spec.bitwidth, spec.symmetric,
+                spec.strict_symmetric, spec.unsigned_symmetric)
+
+    def disable_quantizer(self, name: str):
+        """exclude_layers_from_quantization equivalent (v1/quantsim.py:731)."""
+        spec = self.quantizers.pop(name, None)
+        if spec is None:
+            return
+        self._encodings.pop(name, None)
+        for d in (self._act_var_q, self._param_var_q, self._input_var_q):
+            for k in [k for k, v in d.items() if v == name]:
+                del d[k]
