@@ -1,3 +1,5 @@
 from .bn_fold import bn_affine_params, find_foldable_pairs, fold_all_batch_norms
 from .cle import equalize_model, find_cls_sets, high_bias_fold, scale_cls_sets
 from .bias_correction import correct_bias
+from .adaround import AdaroundParameters, apply_adaround
+from .seq_mse import apply_seq_mse

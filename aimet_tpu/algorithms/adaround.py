@@ -1,0 +1,211 @@
+"""AdaRound — adaptive rounding optimization for weights.
+
+Port of the reference's algorithm (aimet_torch/v1/adaround/): per-layer, in
+topological order, learn a rounding direction for every weight element by
+optimizing reconstruction of the layer's FP outputs from quantized inputs.
+
+Exact math reproduced:
+  - soft-quant:  W_soft = (clamp(floor(W/delta) + h(alpha) - offset, 0, ns)
+                 + offset) * delta, with rectified sigmoid
+                 h(a) = clamp(sigmoid(a)(zeta-gamma)+gamma, 0, 1),
+                 zeta=1.1, gamma=-0.1 (adaround_wrapper.py:124-149)
+  - alpha init:  -log((zeta-gamma)/(W/delta - floor(W/delta) - gamma) - 1)
+                 (adaround_wrapper.py:213-224)
+  - loss: sum-over-channel recon MSE + reg * sum(1 - |2h-1|^beta), beta
+    cosine-annealed start->end after a warm start
+    (adaround_loss.py:71-135; defaults reg=0.01, beta 20->2, warm 0.2)
+  - activation sampling: layer inputs from the quantized-so-far model,
+    target outputs from the FP model (activation_sampler.py:175)
+
+The per-layer Adam loop is a jitted ``lax``-style step over cached
+activations (the reference's Adam loop: adaround_optimizer.py:115-290).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import tree_util as jtu
+
+from ..graph.connected_graph import ConnectedGraph, Op
+from ..quantsim.qsim import QuantizationSimModel
+from ..utils.pytree import set_leaves
+from .bn_fold import _conv_axes
+
+ZETA = 1.1    # aimet_common/defs.py:305
+GAMMA = -0.1  # aimet_common/defs.py:306
+
+
+@dataclasses.dataclass
+class AdaroundParameters:
+    """Mirrors aimet_torch/v1/adaround/adaround_weight.py:78-104."""
+    num_batches: int = 4
+    num_iterations: int = 10000
+    reg_param: float = 0.01
+    beta_range: tuple = (20, 2)
+    warm_start: float = 0.2
+    learning_rate: float = 1e-3
+
+
+def _h_alpha(alpha):
+    return jnp.clip(jax.nn.sigmoid(alpha) * (ZETA - GAMMA) + GAMMA, 0.0, 1.0)
+
+
+def _alpha_init(w, delta):
+    rest = w / delta - jnp.floor(w / delta)
+    rest = jnp.clip(rest, 1e-4, 1 - 1e-4)  # guard the logit
+    return -jnp.log((ZETA - GAMMA) / (rest - GAMMA) - 1)
+
+
+def _beta(num_iter, cur_iter, beta_range, warm_start):
+    start_beta, end_beta = beta_range
+    warm_end = warm_start * num_iter
+    rel = (cur_iter - warm_end) / (num_iter - warm_end)
+    return end_beta + 0.5 * (start_beta - end_beta) * (1 + jnp.cos(rel * jnp.pi))
+
+
+def _layer_apply(op: Op, x, w, bias):
+    """Run one conv/linear op with explicit weights (uses traced attrs)."""
+    if op.type in ("conv", "depthwise_conv"):
+        out = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=op.attrs["window_strides"],
+            padding=op.attrs["padding"],
+            dimension_numbers=op.attrs["dimension_numbers"],
+            feature_group_count=op.attrs["feature_group_count"])
+        if bias is not None:
+            feat_ax = op.attrs["dimension_numbers"].out_spec[1]
+            shape = [1] * out.ndim
+            shape[feat_ax] = -1
+            out = out + jnp.reshape(bias, shape)
+        return out
+    if op.type == "linear":
+        out = jax.lax.dot_general(x, w, op.attrs["dimension_numbers"])
+        if bias is not None:
+            out = out + bias
+        return out
+    raise ValueError(op.type)
+
+
+def _soft_quant(w, delta_b, offset_b, ns, alpha, soft=True):
+    t = jnp.floor(w / delta_b)
+    h = _h_alpha(alpha) if soft else (alpha >= 0).astype(w.dtype)
+    q = jnp.clip(t + h - offset_b, 0.0, ns)
+    return (q + offset_b) * delta_b
+
+
+def optimize_layer_rounding(op: Op, w, bias, encoding, channel_axis,
+                            x_batches, y_batches, params_cfg: AdaroundParameters,
+                            out_channel_axis):
+    """Adam over alpha for one layer; returns the hard-rounded weight."""
+    ns = float(encoding.num_steps)
+    if channel_axis is not None:
+        shape = [1] * w.ndim
+        shape[channel_axis] = -1
+        delta_b = jnp.reshape(encoding.delta, shape)
+        offset_b = jnp.reshape(encoding.offset, shape)
+    else:
+        delta_b = encoding.delta
+        offset_b = encoding.offset
+
+    alpha0 = _alpha_init(w, delta_b)
+    opt = optax.adam(params_cfg.learning_rate)
+    n_batches = len(x_batches)
+    xs = jnp.stack(x_batches)
+    ys = jnp.stack(y_batches)
+    niter = params_cfg.num_iterations
+    warm_iters = int(params_cfg.warm_start * niter)
+
+    def loss_fn(alpha, x, y, it):
+        w_soft = _soft_quant(w, delta_b, offset_b, ns, alpha, soft=True)
+        out = _layer_apply(op, x, w_soft, bias)
+        diff2 = (out - y) ** 2
+        recon = jnp.mean(jnp.sum(diff2, axis=out_channel_axis))
+        h = _h_alpha(alpha)
+        beta = _beta(niter, it, params_cfg.beta_range, params_cfg.warm_start)
+        reg = jnp.sum(1 - jnp.abs(2 * h - 1) ** beta)
+        round_loss = jnp.where(it < warm_iters, 0.0,
+                               params_cfg.reg_param * reg)
+        return recon + round_loss
+
+    @jax.jit
+    def step(alpha, opt_state, it):
+        x = xs[it % n_batches]
+        y = ys[it % n_batches]
+        loss, g = jax.value_and_grad(loss_fn)(alpha, x, y, it)
+        updates, opt_state = opt.update(g, opt_state)
+        alpha = optax.apply_updates(alpha, updates)
+        return alpha, opt_state, loss
+
+    alpha = alpha0
+    opt_state = opt.init(alpha)
+    for it in range(niter):
+        alpha, opt_state, _ = step(alpha, opt_state, jnp.int32(it))
+
+    return _soft_quant(w, delta_b, offset_b, ns, alpha, soft=False)
+
+
+def apply_adaround(sim: QuantizationSimModel, params, data_batches: Sequence,
+                   ada_params: Optional[AdaroundParameters] = None):
+    """Run AdaRound over every conv/linear layer (Adaround.apply_adaround,
+    adaround_weight.py:114).
+
+    Returns params with adarounded (dequantized) weights; the corresponding
+    param encodings are set and frozen on ``sim`` so a subsequent
+    ``compute_encodings`` will not disturb them.
+    """
+    ada_params = ada_params or AdaroundParameters()
+    if not isinstance(data_batches, (list, tuple)):
+        data_batches = list(data_batches)
+    data_batches = data_batches[:ada_params.num_batches]
+
+    graph = sim.graph
+    # param encodings must exist before the first layer optimization
+    sim.compute_param_encodings(params)
+
+    layers = [op for op in graph.ops
+              if op.type in ("conv", "depthwise_conv", "linear")
+              and "kernel" in op.param_products]
+
+    new_params = params
+    for op in layers:
+        kpath = op.param_products["kernel"].param_path
+        if kpath not in sim.quantizers:
+            continue
+        spec = sim.quantizers[kpath]
+        leaves = jtu.tree_leaves(new_params)
+        w = leaves[graph._param_leaf_index[kpath]]
+        bias = None
+        if "bias" in op.param_products:
+            bias = leaves[graph._param_leaf_index[
+                op.param_products["bias"].param_path]]
+
+        # refresh this layer's encoding from the current (possibly CLE'd) w
+        sim.compute_param_encodings(new_params)
+        encoding = sim.encodings[kpath]
+
+        # sample activations: quantized-so-far inputs, FP targets
+        in_name = op.inputs[0].name
+        out_name = op.output.name
+        x_batches, y_batches = [], []
+        for batch in data_batches:
+            args = batch if isinstance(batch, (tuple, list)) else (batch,)
+            x_caps = sim.collect_activations(new_params, args, [in_name],
+                                             mode="quantized")
+            y_caps = sim.collect_activations(params, args, [out_name], mode="fp")
+            x_batches.append(x_caps[in_name])
+            y_batches.append(y_caps[out_name])
+
+        _, _, out_feat_ax = _conv_axes(op)
+        w_ada = optimize_layer_rounding(
+            op, w, bias, encoding, spec.channel_axis, x_batches, y_batches,
+            ada_params, out_feat_ax)
+        new_params = set_leaves(new_params, {kpath: w_ada})
+        sim.set_encoding(kpath, encoding, freeze=True)
+
+    return new_params
