@@ -1,0 +1,12 @@
+from .int_matmul import (
+    matmul_w4,
+    matmul_w4_xla,
+    matmul_w8,
+    matmul_w8_xla,
+    matmul_w8a8,
+    matmul_w8a8_xla,
+    quantize_activation_per_row,
+    quantize_weight_int4,
+    quantize_weight_per_channel,
+    unpack_int4,
+)

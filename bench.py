@@ -1,0 +1,93 @@
+"""Benchmark: fused dequant-matmul Pallas kernels on the real TPU chip.
+
+Headline metric: INT8xINT8 fused dequant-matmul throughput (TFLOP/s) vs the
+XLA bf16 matmul baseline at the same shape (vs_baseline = speedup).
+
+Methodology: the axon relay adds ~200 ms fixed round-trip latency per fetch,
+so each kernel is timed by the slope method — a data-dependent chain of n
+invocations inside one jit (lax.fori_loop), timed at two n values, with a
+1-element fetch forcing completion.  per-call time = (T(n1) - T(n0))/(n1-n0).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+M, K, N = 1024, 4096, 4096
+N0, N1 = 8, 72
+REPS = 3
+
+
+def slope_time(make_chain):
+    """make_chain(n) -> jitted fn(x) running the op n times chained."""
+    times = {}
+    for n in (N0, N1):
+        f = make_chain(n)
+        x0 = jnp.ones((M, K), jnp.bfloat16)
+        np.asarray(f(x0)[0:1, 0:1])  # compile + warm
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            np.asarray(f(x0)[0:1, 0:1])
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return max((times[N1] - times[N0]) / (N1 - N0), 1e-9)
+
+
+def main():
+    from aimet_tpu.ops.int_matmul import (
+        matmul_w4,
+        matmul_w8,
+        matmul_w8a8,
+        quantize_weight_int4,
+        quantize_weight_per_channel,
+    )
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray((rng.randn(K, N) * 0.05).astype(np.float32))
+    w_bf = (w * 0.01).astype(jnp.bfloat16)   # keep the chain numerically tame
+    wq8, s8 = quantize_weight_per_channel(w)
+    s8 = s8 * 0.01
+    wp4, s4 = quantize_weight_int4(w)
+    s4 = s4 * 0.01
+
+    flops = 2.0 * M * K * N
+
+    def chain(op):
+        def make(n):
+            def body(i, acc):
+                return op(acc).astype(jnp.bfloat16)
+            return jax.jit(lambda x: jax.lax.fori_loop(0, n, body, x))
+        return make
+
+    t_bf16 = slope_time(chain(lambda a: jnp.dot(
+        a, w_bf, preferred_element_type=jnp.float32)))
+    t_w8a8 = slope_time(chain(lambda a: matmul_w8a8(
+        a, wq8, s8, out_dtype=jnp.bfloat16)))
+    t_w8 = slope_time(chain(lambda a: matmul_w8(
+        a, wq8, s8, out_dtype=jnp.bfloat16)))
+    t_w4 = slope_time(chain(lambda a: matmul_w4(
+        a, wp4, s4, out_dtype=jnp.bfloat16)))
+
+    tflops = lambda t: flops / t / 1e12
+    results = {"bf16_xla": tflops(t_bf16), "w8a8": tflops(t_w8a8),
+               "w8": tflops(t_w8), "w4": tflops(t_w4)}
+    print("# all results (TFLOP/s): " + json.dumps(
+        {k: round(v, 2) for k, v in results.items()}), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "fused_dequant_matmul_w8a8_tflops",
+        "value": round(results["w8a8"], 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(results["w8a8"] / results["bf16_xla"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Pallas kernel correctness vs XLA references (interpret mode on CPU;
+compiled path exercised by bench.py on the real chip)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimet_tpu.ops.int_matmul import (
+    matmul_w4,
+    matmul_w4_xla,
+    matmul_w8,
+    matmul_w8_xla,
+    matmul_w8a8,
+    matmul_w8a8_xla,
+    quantize_activation_per_row,
+    quantize_weight_int4,
+    quantize_weight_per_channel,
+    unpack_int4,
+)
+
+# interpret mode is slow — keep shapes tiny but tile-aligned
+M, K, N = 16, 256, 256
+BLK = dict(block_m=8, block_n=128, block_k=128)
+
+
+@pytest.fixture
+def xw(rng):
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.1)
+    return x, w
+
+
+class TestQuantizers:
+    def test_weight_per_channel_roundtrip(self, xw):
+        _, w = xw
+        wq, s = quantize_weight_per_channel(w)
+        assert wq.dtype == jnp.int8
+        err = np.abs(np.asarray(wq, np.float32) * np.asarray(s)[None, :] - np.asarray(w))
+        assert err.max() <= np.asarray(s).max() / 2 + 1e-6
+
+    def test_int4_pack_unpack_roundtrip(self, xw):
+        _, w = xw
+        packed, s = quantize_weight_int4(w)
+        assert packed.shape == (K // 2, N)
+        wq = unpack_int4(packed)
+        assert int(jnp.max(wq)) <= 7 and int(jnp.min(wq)) >= -7
+        # unpacked dequant approximates w within int4 resolution
+        err = np.abs(np.asarray(wq, np.float32) * np.asarray(s)[None, :] - np.asarray(w))
+        assert err.max() <= np.asarray(s).max() / 2 + 1e-6
+
+    def test_activation_per_row(self, xw):
+        x, _ = xw
+        xq, s = quantize_activation_per_row(x)
+        err = np.abs(np.asarray(xq, np.float32) * np.asarray(s)[:, None] - np.asarray(x))
+        assert err.max() <= np.asarray(s).max() / 2 + 1e-6
+
+
+class TestKernelsVsXla:
+    def test_w8(self, xw):
+        x, w = xw
+        wq, s = quantize_weight_per_channel(w)
+        ref = matmul_w8_xla(x, wq, s)
+        out = matmul_w8(x, wq, s, **BLK)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        # and close to the fp matmul
+        fp = x @ w
+        rel = np.abs(np.asarray(out) - np.asarray(fp)).mean() / np.abs(fp).mean()
+        assert rel < 0.01
+
+    def test_w8a8(self, xw):
+        x, w = xw
+        wq, s = quantize_weight_per_channel(w)
+        ref = matmul_w8a8_xla(x, wq, s)
+        out = matmul_w8a8(x, wq, s, **BLK)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_w4(self, xw):
+        x, w = xw
+        packed, s = quantize_weight_int4(w)
+        ref = matmul_w4_xla(x, packed, s)
+        out = matmul_w4(x, packed, s, **BLK)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_unaligned_m(self, rng):
+        x = jnp.asarray(rng.randn(5, 256).astype(np.float32))
+        w = jnp.asarray(rng.randn(256, 256).astype(np.float32) * 0.1)
+        wq, s = quantize_weight_per_channel(w)
+        out = matmul_w8(x, wq, s, **BLK)
+        assert out.shape == (5, 256)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(matmul_w8_xla(x, wq, s)),
+                                   rtol=1e-4, atol=1e-4)
