@@ -3,3 +3,6 @@ from .cle import equalize_model, find_cls_sets, high_bias_fold, scale_cls_sets
 from .bias_correction import correct_bias
 from .adaround import AdaroundParameters, apply_adaround
 from .seq_mse import apply_seq_mse
+from .amp import Candidate, GreedyMixedPrecision, choose_mixed_precision, find_quantizer_groups
+from .auto_quant import AutoQuant, AutoQuantResult
+from .quant_analyzer import QuantAnalyzer, QuantAnalyzerResult

@@ -70,7 +70,14 @@ def _beta(num_iter, cur_iter, beta_range, warm_start):
 
 
 def _layer_apply(op: Op, x, w, bias):
-    """Run one conv/linear op with explicit weights (uses traced attrs)."""
+    """Run one conv/linear op with explicit weights (uses traced attrs).
+
+    ``x`` is the op's graph input product, which (through pass-through
+    aliasing) may be the pre-reshape tensor — reshape to the traced lhs
+    shape, keeping the leading (batch) dim free."""
+    lhs_shape = op.attrs.get("lhs_shape")
+    if lhs_shape is not None and x.ndim != len(lhs_shape):
+        x = x.reshape((x.shape[0],) + tuple(lhs_shape[1:]))
     if op.type in ("conv", "depthwise_conv"):
         out = jax.lax.conv_general_dilated(
             x, w,

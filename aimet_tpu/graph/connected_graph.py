@@ -322,7 +322,8 @@ class ConnectedGraph:
                 attrs = {"dimension_numbers": dn,
                          "window_strides": eqn.params["window_strides"],
                          "padding": eqn.params["padding"],
-                         "feature_group_count": eqn.params.get("feature_group_count", 1)}
+                         "feature_group_count": eqn.params.get("feature_group_count", 1),
+                         "lhs_shape": tuple(eqn.invars[0].aval.shape)}
                 op_type = ("depthwise_conv"
                            if eqn.params.get("feature_group_count", 1) > 1 else "conv")
                 new_op(op_type, grouped, [eqn.invars[0]], out_var, params, attrs)
@@ -351,7 +352,8 @@ class ConnectedGraph:
                             grouped.append(nxt)
                             consumed.add(id(nxt))
                             out_var = nxt.outvars[0]
-                attrs = {"dimension_numbers": eqn.params["dimension_numbers"]}
+                attrs = {"dimension_numbers": eqn.params["dimension_numbers"],
+                         "lhs_shape": tuple(lhs.aval.shape) if hasattr(lhs, "aval") else None}
                 new_op(op_type, grouped, data_ins, out_var, params, attrs)
                 continue
 

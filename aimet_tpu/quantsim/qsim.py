@@ -396,6 +396,11 @@ class QuantizationSimModel:
         if count == 0:
             raise RuntimeError("compute_encodings: data_iter yielded no batches")
 
+        # kept for later bitwidth re-computation (AMP) and QuantAnalyzer
+        self._analyzers = analyzers
+        self._obs_states = obs
+        self._calib_params = params
+
         for name, analyzer in analyzers.items():
             if name in self._frozen:
                 continue
@@ -405,6 +410,34 @@ class QuantizationSimModel:
                 strict_symmetric=spec.strict_symmetric,
                 unsigned_symmetric=spec.unsigned_symmetric)
         return self._encodings
+
+    def recompute_encoding(self, name: str, bitwidth: int) -> AffineEncoding:
+        """Recompute one quantizer's encoding at a different bitwidth from the
+        retained calibration statistics (no new data needed) — used by AMP."""
+        spec = self.quantizers[name]
+        if spec.kind == "param":
+            leaves = jtu.tree_leaves(self._calib_params)
+            w = jnp.asarray(leaves[self.graph._param_leaf_index[name]])
+            analyzer = EncodingAnalyzer(spec.scheme, channel_axis=spec.channel_axis,
+                                        percentile=spec.percentile)
+            st = analyzer.update(analyzer.init_state(w.shape), w)
+            return analyzer.compute(
+                st, bitwidth=bitwidth, symmetric=spec.symmetric,
+                strict_symmetric=spec.strict_symmetric,
+                unsigned_symmetric=spec.unsigned_symmetric)
+        analyzer = self._analyzers[name]
+        return analyzer.compute(
+            self._obs_states[name], bitwidth=bitwidth, symmetric=spec.symmetric,
+            strict_symmetric=spec.strict_symmetric,
+            unsigned_symmetric=spec.unsigned_symmetric)
+
+    def set_bitwidth(self, name: str, bitwidth: int):
+        """Change a quantizer's bitwidth in place (spec + encoding)."""
+        spec = self.quantizers[name]
+        if spec.bitwidth == bitwidth:
+            return
+        self._encodings[name] = self.recompute_encoding(name, bitwidth)
+        self.quantizers[name] = dataclasses.replace(spec, bitwidth=bitwidth)
 
     @property
     def encodings(self) -> Dict[str, AffineEncoding]:
@@ -423,6 +456,17 @@ class QuantizationSimModel:
         if not self._encodings:
             raise RuntimeError("call compute_encodings first")
         return self._run(params, args, "quantized", encodings=self._encodings)[0]
+
+    def quantized_fn_subset(self, params, *args, enabled=None, disabled=None):
+        """Quantized forward with only a subset of quantizers active —
+        QuantAnalyzer/AMP enable-disable sweeps (quant_analyzer.py:63)."""
+        enc = dict(self._encodings)
+        if enabled is not None:
+            enc = {k: v for k, v in enc.items() if k in set(enabled)}
+        if disabled is not None:
+            for k in disabled:
+                enc.pop(k, None)
+        return self._run(params, args, "quantized", encodings=enc)[0]
 
     def qat_fn(self):
         """Range-learning QAT: returns ``(apply_fn, encoding_params)`` where

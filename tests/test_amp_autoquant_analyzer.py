@@ -1,0 +1,121 @@
+"""AMP, AutoQuant, QuantAnalyzer orchestration tests."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimet_tpu.algorithms.amp import Candidate, choose_mixed_precision, find_quantizer_groups
+from aimet_tpu.algorithms.auto_quant import AutoQuant
+from aimet_tpu.algorithms.quant_analyzer import QuantAnalyzer
+from aimet_tpu.models.cnn import TinyMLP, init_model
+from aimet_tpu.quantsim.qsim import QuantizationSimModel
+
+
+@pytest.fixture
+def setup(rng):
+    model = TinyMLP(features=16)
+    v, x = init_model(model, (8, 16))
+    fn = lambda p, x: model.apply(p, x)
+    batches = [jnp.asarray(rng.randn(8, 16).astype(np.float32)) for _ in range(3)]
+    sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax",
+                               default_param_bw=8, default_output_bw=8)
+    sim.compute_encodings(v, iter(batches))
+    ref = model.apply(v, batches[0])
+
+    def eval_fn(forward):
+        out = forward(batches[0])
+        return -float(jnp.mean((out - ref) ** 2))  # higher = better
+
+    return model, fn, sim, v, batches, eval_fn, ref
+
+
+class TestAmp:
+    def test_find_groups(self, setup):
+        _, _, sim, *_ = setup
+        groups = find_quantizer_groups(sim)
+        names = {g.name for g in groups}
+        assert "linear_2" in names and "relu_0" in names
+        lin0 = next(g for g in groups if g.name == "linear_0")
+        assert len(lin0.param_quantizers) == 1
+
+    def test_set_bitwidth_recomputes(self, setup):
+        _, _, sim, v, batches, eval_fn, ref = setup
+        name = next(n for n, s in sim.quantizers.items() if s.kind == "param")
+        d8 = float(jnp.max(sim.encodings[name].delta))
+        sim.set_bitwidth(name, 4)
+        assert sim.quantizers[name].bitwidth == 4
+        d4 = float(jnp.max(sim.encodings[name].delta))
+        assert d4 > d8 * 8  # 4-bit delta ~16x coarser
+
+    def test_greedy_amp(self, setup):
+        _, _, sim, v, batches, eval_fn, ref = setup
+        cands = [Candidate(8, 8), Candidate(8, 4)]
+        result = choose_mixed_precision(sim, v, cands, eval_fn,
+                                        allowed_accuracy_drop=1e-3)
+        assert result.baseline_accuracy >= result.final_accuracy - 1e-9
+        assert result.pareto_front[0][0] == 1.0
+        # every flipped group respected the accuracy budget
+        assert result.baseline_accuracy - result.final_accuracy <= 1e-3 + 1e-9
+        # some assignment exists for every group
+        assert set(result.group_bitwidths) == {g.name for g in
+                                               find_quantizer_groups(sim)}
+
+    def test_amp_with_huge_budget_flips_everything(self, setup):
+        _, _, sim, v, batches, eval_fn, ref = setup
+        cands = [Candidate(8, 8), Candidate(4, 4)]
+        result = choose_mixed_precision(sim, v, cands, eval_fn,
+                                        allowed_accuracy_drop=1e9)
+        flipped = [c for c in result.group_bitwidths.values()
+                   if c == Candidate(4, 4)]
+        assert len(flipped) == len(result.group_bitwidths)
+
+
+class TestQuantAnalyzer:
+    def test_analyze_and_report(self, setup, tmp_path):
+        _, _, sim, v, batches, eval_fn, _ = setup
+        qa = QuantAnalyzer(sim, v, eval_fn)
+        res = qa.analyze(mse_batches=batches[:1])
+        assert res.fp_accuracy >= res.quantized_accuracy - 1e-9
+        assert res.fp_accuracy == pytest.approx(0.0)  # eval vs itself
+        assert len(res.per_quantizer_sensitivity) == len(sim.encodings)
+        assert res.per_layer_mse  # populated
+        assert all(np.isfinite(list(res.per_layer_mse.values())))
+        out = tmp_path / "report.html"
+        QuantAnalyzer.export_html(res, str(out))
+        text = out.read_text()
+        assert "Quantization analysis" in text and "linear_2" in text
+
+
+class TestAutoQuant:
+    def test_pipeline_runs_and_improves(self, rng):
+        from aimet_tpu.models.cnn import TinyCNN
+        model = TinyCNN()
+        v, x = init_model(model, (4, 8, 8, 1))
+        fn = lambda p, x: model.apply(p, x)
+        batches = [jnp.asarray(rng.randn(4, 8, 8, 1).astype(np.float32))
+                   for _ in range(2)]
+        ref = model.apply(v, batches[0])
+
+        def eval_fn(forward):
+            return -float(jnp.mean((forward(batches[0]) - ref) ** 2))
+
+        from aimet_tpu.algorithms.adaround import AdaroundParameters
+        aq = AutoQuant(fn, (v, x), v, batches, eval_fn,
+                       quant_scheme="minmax", default_param_bw=4,
+                       adaround_params=AdaroundParameters(
+                           num_batches=2, num_iterations=60))
+        result = aq.optimize(allowed_accuracy_drop=0.0)
+        assert result.best_stage in ("quantsim", "cle", "adaround")
+        stages = [s.name for s in result.history]
+        assert stages[0] == "fp32"
+        assert result.accuracy >= result.history[1].accuracy - 1e-9
+        assert "AutoQuant stages" in result.diagnostics()
+
+    def test_early_exit_when_target_met(self, setup):
+        model, fn, sim, v, batches, eval_fn, ref = setup
+        aq = AutoQuant(fn, (v, batches[0]), v, batches, eval_fn,
+                       quant_scheme="minmax", default_param_bw=8)
+        # INT8 on this tiny model is nearly exact: generous drop target =>
+        # stop right after stage 1
+        result = aq.optimize(allowed_accuracy_drop=1.0)
+        assert result.best_stage == "quantsim"
+        assert [s.name for s in result.history] == ["fp32", "quantsim"]
