@@ -6,3 +6,4 @@ from .seq_mse import apply_seq_mse
 from .amp import Candidate, GreedyMixedPrecision, choose_mixed_precision, find_quantizer_groups
 from .auto_quant import AutoQuant, AutoQuantResult
 from .quant_analyzer import QuantAnalyzer, QuantAnalyzerResult
+from .bn_reestimation import reestimate_bn_stats

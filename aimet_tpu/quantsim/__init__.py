@@ -1,2 +1,3 @@
 from .config import QuantSimConfig, OpTypeConfig
 from .qsim import QuantizationSimModel, QuantizerSpec
+from .recurrent import RecurrentQuantizer, RecurrentQuantSpec, init_gru_params, init_lstm_params
