@@ -16,3 +16,16 @@ from .encoding_analyzer import (
     RescalingHistogramState,
 )
 from .grads import quantize_dequantize, round_ste
+from .float_sim import (
+    fake_cast_fp16,
+    fake_cast_to_ieee_float,
+    init_fp8_maxval_minmax,
+    init_fp8_maxval_mse,
+    quantize_to_fp8,
+)
+from .blockwise import (
+    blockwise_encoding,
+    blockwise_quantize_dequantize,
+    grouped_block_quantize_dequantize,
+    lpbq_compress_scales,
+)
