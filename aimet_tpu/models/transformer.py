@@ -56,19 +56,23 @@ class TransformerConfig:
 
 
 def rope_freqs(cfg: TransformerConfig, positions):
-    """(T,) int positions -> cos/sin tables (T, head_dim//2)."""
+    """(T,) or (B, T) int positions -> cos/sin tables (..., T, head_dim//2)."""
     dim = cfg.head_dim
     inv = 1.0 / (cfg.rope_theta ** (np.arange(0, dim, 2) / dim))
-    ang = positions[:, None].astype(jnp.float32) * inv[None, :]
+    ang = jnp.asarray(positions)[..., None].astype(jnp.float32) * inv
     return jnp.cos(ang), jnp.sin(ang)
 
 
 def apply_rope(x, cos, sin):
-    """x: (B, T, H, D). Rotates pairs (even, odd)."""
+    """x: (B, T, H, D); cos/sin (T, D/2) or per-batch (B, T, D/2)."""
     x1 = x[..., 0::2]
     x2 = x[..., 1::2]
-    cos = cos[None, :, None, :]
-    sin = sin[None, :, None, :]
+    if cos.ndim == 2:
+        cos = cos[None, :, None, :]
+        sin = sin[None, :, None, :]
+    else:
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
     r1 = x1 * cos - x2 * sin
     r2 = x2 * cos + x1 * sin
     return jnp.stack([r1, r2], axis=-1).reshape(x.shape)

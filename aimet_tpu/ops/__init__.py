@@ -10,3 +10,10 @@ from .int_matmul import (
     quantize_weight_per_channel,
     unpack_int4,
 )
+from .kv_cache import (
+    QuantizedKVCache,
+    append_kv,
+    dequantize_kv,
+    init_quantized_kv_cache,
+    prefill_kv,
+)

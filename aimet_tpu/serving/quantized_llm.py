@@ -1,0 +1,207 @@
+"""True-quant LLM inference: INT8/INT4 weight-only transformer with INT8 KV
+cache — the execution path the reference only simulates.
+
+Weights are converted once from a (possibly quantsim-calibrated) flax
+parameter tree into real integer storage (per-channel symmetric); the
+forward pass mirrors models/transformer.py but every projection runs through
+the fused dequant-matmul kernels (ops/int_matmul.py), and the KV cache is
+INT8 (ops/kv_cache.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.transformer import TransformerConfig, apply_rope, rope_freqs
+from ..ops.int_matmul import (
+    matmul_w4_xla,
+    matmul_w8_xla,
+    matmul_w8,
+    matmul_w4,
+    quantize_weight_int4,
+    quantize_weight_per_channel,
+)
+from ..ops.kv_cache import (
+    QuantizedKVCache,
+    append_kv,
+    dequantize_kv,
+    init_quantized_kv_cache,
+    prefill_kv,
+)
+
+PROJ_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _use_pallas():
+    return jax.default_backend() == "tpu"
+
+
+def _qmm(x2d, wq, scale, mode):
+    if mode == "w8":
+        fn = matmul_w8 if _use_pallas() else matmul_w8_xla
+    else:
+        fn = matmul_w4 if _use_pallas() else matmul_w4_xla
+    return fn(x2d, wq, scale)
+
+
+def quantize_transformer_weights(variables, cfg: TransformerConfig,
+                                 mode: str = "w8") -> Dict[str, Any]:
+    """Convert flax params -> integer weights (+ fp norms/embeddings).
+
+    mode: 'w8' (INT8) or 'w4' (packed INT4), per-channel symmetric.
+    """
+    assert mode in ("w8", "w4")
+    quant = quantize_weight_per_channel if mode == "w8" else quantize_weight_int4
+    p = variables["params"]
+    out = {"layers": [], "embed": p["embed"]["embedding"],
+           "final_norm": p["final_norm"]["scale"],
+           "lm_head": quant(p["lm_head"]["kernel"])}
+    for i in range(cfg.n_layers):
+        lp = p[f"layer_{i}"]
+        layer = {
+            "attn_norm": lp["attn_norm"]["scale"],
+            "mlp_norm": lp["mlp_norm"]["scale"],
+        }
+        for name in ("wq", "wk", "wv", "wo"):
+            layer[name] = quant(lp["attn"][name]["kernel"])
+        for name in ("w_gate", "w_up", "w_down"):
+            layer[name] = quant(lp["mlp"][name]["kernel"])
+        out["layers"].append(layer)
+    return out
+
+
+def _rms_norm(x, scale, eps):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps).astype(x.dtype)) * scale
+
+
+def _proj(x, wq_scale, mode):
+    """x (B, T, D) @ quantized weight -> (B, T, out)."""
+    wq, scale = wq_scale
+    b, t, d = x.shape
+    out = _qmm(x.reshape(b * t, d), wq, scale, mode)
+    return out.reshape(b, t, -1)
+
+
+def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
+               cache_index, mode, prefill: bool):
+    B, T, _ = x.shape
+    H, KH, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    q = _proj(x, layer["wq"], mode).reshape(B, T, H, D)
+    k = _proj(x, layer["wk"], mode).reshape(B, T, KH, D)
+    v = _proj(x, layer["wv"], mode).reshape(B, T, KH, D)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        if prefill:
+            cache = prefill_kv(cache, k, v, 0)
+        else:
+            cache = append_kv(cache, k, v, cache_index)
+        k_full, v_full = dequantize_kv(cache, x.dtype)
+    else:
+        k_full, v_full = k, v
+
+    rep = H // KH
+    k_full = jnp.repeat(k_full, rep, axis=2)
+    v_full = jnp.repeat(v_full, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k_full,
+                        preferred_element_type=jnp.float32) / np.sqrt(D)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v_full).reshape(B, T, H * D)
+    return _proj(out, layer["wo"], mode), cache
+
+
+def _mlp(cfg, layer, x, mode):
+    gate = _proj(x, layer["w_gate"], mode)
+    up = _proj(x, layer["w_up"], mode)
+    return _proj(jax.nn.silu(gate) * up, layer["w_down"], mode)
+
+
+def quantized_forward(qw, cfg: TransformerConfig, tokens,
+                      caches: Optional[List[QuantizedKVCache]] = None,
+                      cache_index=0, prefill: bool = True, mode: str = "w8"):
+    """Returns (logits, new_caches)."""
+    B, T = tokens.shape
+    x = jnp.take(qw["embed"], tokens, axis=0).astype(cfg.dtype)
+
+    if prefill or caches is None:
+        positions = jnp.arange(T)
+        if caches is not None:
+            # scores span the whole cache: causal over [0, T), zero beyond
+            S = caches[0].k.shape[1]
+            span = jnp.arange(S)[None, :] <= jnp.arange(T)[:, None]
+            mask = span[None, None, :, :]
+        else:
+            mask = jnp.tril(jnp.ones((T, T), bool))[None, None, :, :]
+    else:
+        S = caches[0].k.shape[1]
+        cache_index = jnp.asarray(cache_index)
+        if cache_index.ndim == 0:
+            positions = cache_index + jnp.arange(T)          # (T,)
+            span = jnp.arange(S)[None, :] <= positions[:, None]
+            mask = span[None, None, :, :]
+        else:
+            positions = cache_index[:, None] + jnp.arange(T)  # (B, T)
+            span = jnp.arange(S)[None, None, :] <= positions[:, :, None]
+            mask = span[:, None, :, :]
+
+    cos, sin = rope_freqs(cfg, positions)
+    new_caches = []
+    for i in range(cfg.n_layers):
+        layer = qw["layers"][i]
+        cache = caches[i] if caches is not None else None
+        h, cache = _attention(cfg, layer, _rms_norm(x, layer["attn_norm"], cfg.norm_eps),
+                              cos, sin, mask, cache, cache_index, mode, prefill)
+        x = x + h
+        x = x + _mlp(cfg, layer, _rms_norm(x, layer["mlp_norm"], cfg.norm_eps), mode)
+        new_caches.append(cache)
+    x = _rms_norm(x, qw["final_norm"], cfg.norm_eps)
+    logits = _qmm(x.reshape(B * T, -1).astype(jnp.float32), *qw["lm_head"],
+                  mode=mode).reshape(B, T, -1)
+    return logits, (new_caches if caches is not None else None)
+
+
+class QuantizedLLM:
+    """User-facing serving model: prefill + greedy decode with INT8 KV."""
+
+    def __init__(self, variables, cfg: TransformerConfig, mode: str = "w8",
+                 max_len: int = 256):
+        self.cfg = cfg
+        self.mode = mode
+        self.max_len = max_len
+        self.qw = quantize_transformer_weights(variables, cfg, mode)
+        self._prefill = jax.jit(partial(quantized_forward, prefill=True,
+                                        mode=mode),
+                                static_argnames=("cfg",))
+        self._decode = jax.jit(partial(quantized_forward, prefill=False,
+                                       mode=mode),
+                               static_argnames=("cfg",))
+
+    def new_caches(self, batch: int) -> List[QuantizedKVCache]:
+        return [init_quantized_kv_cache(batch, self.max_len,
+                                        self.cfg.n_kv_heads, self.cfg.head_dim)
+                for _ in range(self.cfg.n_layers)]
+
+    def generate(self, tokens, num_steps: int):
+        """Greedy generation: returns (B, T+num_steps) tokens."""
+        B, T = tokens.shape
+        caches = self.new_caches(B)
+        logits, caches = self._prefill(self.qw, self.cfg, tokens, caches, 0)
+        next_tok = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+        out = [tokens, next_tok]
+        pos = T
+        for _ in range(num_steps - 1):
+            logits, caches = self._decode(self.qw, self.cfg, next_tok,
+                                          caches, jnp.int32(pos))
+            next_tok = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+            out.append(next_tok)
+            pos += 1
+        return jnp.concatenate(out, axis=1)

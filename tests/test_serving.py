@@ -1,0 +1,121 @@
+"""Serving path tests: INT8 KV cache, quantized transformer inference,
+continuous batching."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimet_tpu.models.transformer import Transformer, TransformerConfig
+from aimet_tpu.ops.kv_cache import (
+    append_kv,
+    dequantize_kv,
+    init_quantized_kv_cache,
+    prefill_kv,
+)
+from aimet_tpu.serving.batcher import ContinuousBatcher
+from aimet_tpu.serving.quantized_llm import (
+    QuantizedLLM,
+    quantize_transformer_weights,
+    quantized_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = TransformerConfig.tiny(vocab_size=64)
+    model = Transformer(cfg)
+    tokens = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    return cfg, model, variables
+
+
+class TestKvCache:
+    def test_prefill_roundtrip(self, rng):
+        cache = init_quantized_kv_cache(2, 16, 4, 8)
+        k = jnp.asarray(rng.randn(2, 6, 4, 8).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 6, 4, 8).astype(np.float32))
+        cache = prefill_kv(cache, k, v)
+        kd, vd = dequantize_kv(cache)
+        # int8 per-head: relative error bounded by scale/2
+        err = np.abs(np.asarray(kd[:, :6]) - np.asarray(k)).max()
+        assert err <= float(cache.k_scale.max()) / 2 + 1e-6
+        assert np.all(np.asarray(kd[:, 6:]) == 0)
+
+    def test_append_scalar_and_vector_index(self, rng):
+        cache = init_quantized_kv_cache(2, 16, 4, 8)
+        k0 = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+        cache = prefill_kv(cache, k0, k0)
+        k1 = jnp.asarray(rng.randn(2, 1, 4, 8).astype(np.float32))
+        c_scalar = append_kv(cache, k1, k1, 4)
+        c_vector = append_kv(cache, k1, k1, jnp.asarray([4, 4]))
+        np.testing.assert_array_equal(np.asarray(c_scalar.k),
+                                      np.asarray(c_vector.k))
+        # per-slot different positions
+        c_mixed = append_kv(cache, k1, k1, jnp.asarray([4, 7]))
+        assert np.any(np.asarray(c_mixed.k[1, 7]) != 0)
+        assert np.all(np.asarray(c_mixed.k[1, 4]) == 0)
+
+
+class TestQuantizedLLM:
+    def test_w8_logits_close_to_fp(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        tokens = jnp.asarray(rng.randint(0, 64, (2, 8)), jnp.int32)
+        fp = model.apply(variables, tokens)
+        qw = quantize_transformer_weights(variables, cfg, "w8")
+        q_logits, _ = quantized_forward(qw, cfg, tokens, mode="w8")
+        # top-1 agreement on most positions
+        agree = np.mean(np.asarray(jnp.argmax(fp, -1) == jnp.argmax(q_logits, -1)))
+        assert agree > 0.8
+
+    def test_w4_runs(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        tokens = jnp.asarray(rng.randint(0, 64, (1, 8)), jnp.int32)
+        qw = quantize_transformer_weights(variables, cfg, "w4")
+        logits, _ = quantized_forward(qw, cfg, tokens, mode="w4")
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_generate_matches_incremental_fp_path(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
+        tokens = jnp.asarray(rng.randint(0, 64, (2, 5)), jnp.int32)
+        out = llm.generate(tokens, 6)
+        assert out.shape == (2, 11)
+        # decode-with-cache consistency: rerun full prefill on the generated
+        # prefix; its argmax continuation should match the cached decode
+        # (full recompute uses fp K/V while the cached path quantizes the
+        # cache to INT8, so argmax can differ on near-ties: require the
+        # chosen token's full-context logit to be within a small margin of
+        # the max instead of exact agreement)
+        qw = llm.qw
+        full_logits, _ = quantized_forward(qw, cfg, out[:, :-1], mode="w8")
+        last = np.asarray(full_logits[:, -1])
+        chosen = np.asarray(out[:, -1])
+        for b in range(last.shape[0]):
+            assert last[b, chosen[b]] >= last[b].max() - 0.25
+
+
+class TestContinuousBatching:
+    def test_batcher_completes_requests(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
+        batcher = ContinuousBatcher(llm, num_slots=2)
+        reqs = [batcher.submit(list(rng.randint(0, 64, 4)), max_new_tokens=5)
+                for _ in range(4)]  # more requests than slots
+        steps = batcher.run_until_done(max_steps=200)
+        assert all(r.done for r in reqs)
+        assert all(len(r.generated) == 5 for r in reqs)
+        assert steps < 200
+
+    def test_batcher_matches_unbatched_generation(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
+        prompt = list(rng.randint(0, 64, 5))
+        solo = llm.generate(jnp.asarray([prompt], jnp.int32), 4)
+        expected = np.asarray(solo[0, 5:])
+
+        batcher = ContinuousBatcher(llm, num_slots=3)
+        r1 = batcher.submit(prompt, max_new_tokens=4)
+        r2 = batcher.submit(list(rng.randint(0, 64, 3)), max_new_tokens=6)
+        batcher.run_until_done(max_steps=100)
+        np.testing.assert_array_equal(np.asarray(r1.generated), expected)
+        assert len(r2.generated) == 6
