@@ -7,3 +7,4 @@ from .amp import Candidate, GreedyMixedPrecision, choose_mixed_precision, find_q
 from .auto_quant import AutoQuant, AutoQuantResult
 from .quant_analyzer import QuantAnalyzer, QuantAnalyzerResult
 from .bn_reestimation import reestimate_bn_stats
+from .arch_checker import ArchChecker, ModelValidator

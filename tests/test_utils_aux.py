@@ -1,0 +1,114 @@
+"""Aux subsystem tests: logger/profile, cache, arch checker, layer outputs,
+visualization."""
+import json
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimet_tpu.algorithms.arch_checker import ArchChecker, ModelValidator
+from aimet_tpu.graph.connected_graph import ConnectedGraph
+from aimet_tpu.models.cnn import ConvBnRelu, TinyMLP, init_model
+from aimet_tpu.quantsim.qsim import QuantizationSimModel
+from aimet_tpu.utils.cache import Cache
+from aimet_tpu.utils.layer_output import LayerOutputUtil
+from aimet_tpu.utils.logger import AimetLogger, profile
+from aimet_tpu.utils.visualization import (
+    visualize_calibration_histograms,
+    visualize_encoding_ranges,
+    visualize_weight_ranges,
+)
+
+
+def test_logger_areas_and_levels():
+    lg = AimetLogger.get_area_logger(AimetLogger.LogAreas.Quant)
+    assert lg.name == "aimet_tpu.Quant"
+    AimetLogger.set_area_logger_level(AimetLogger.LogAreas.Quant, logging.ERROR)
+    assert lg.level == logging.ERROR
+    AimetLogger.set_level_for_all_areas(logging.INFO)
+    assert lg.level == logging.INFO
+
+
+def test_profile_records(caplog):
+    results = {}
+    with profile("stage1", results=results):
+        sum(range(1000))
+    assert "stage1" in results and results["stage1"] >= 0
+
+
+def test_cache_memoizes(tmp_path):
+    cache = Cache()
+    calls = []
+
+    @cache.mark("expensive")
+    def expensive(x):
+        calls.append(x)
+        return {"v": jnp.asarray([x * 2.0])}
+
+    with cache.enable(str(tmp_path), "k1"):
+        r1 = expensive(3)
+        r2 = expensive(3)
+    assert len(calls) == 1
+    np.testing.assert_array_equal(np.asarray(r1["v"]), np.asarray(r2["v"]))
+    # survives a fresh run (resume)
+    with cache.enable(str(tmp_path), "k1"):
+        r3 = expensive(99)  # arg ignored: cached by mark+key
+    assert len(calls) == 1
+    np.testing.assert_array_equal(np.asarray(r3["v"]), [6.0])
+    # disabled outside context
+    r4 = expensive(5)
+    assert len(calls) == 2 and float(r4["v"][0]) == 10.0
+
+
+def test_arch_checker(tmp_path):
+    model = ConvBnRelu(features=8)
+    v, x = init_model(model, (1, 8, 8, 3))
+    g = ConnectedGraph(lambda v, x: model.apply(v, x), (v, x))
+    results = ArchChecker.check_model(g)
+    checks = {r.check for r in results}
+    assert "small_channels" in checks  # 8 channels < 32
+    out = tmp_path / "arch.html"
+    ArchChecker.export_html(results, str(out))
+    assert "Architecture check" in out.read_text()
+
+
+def test_model_validator():
+    model = TinyMLP()
+    v, x = init_model(model, (2, 16))
+    checks = ModelValidator.validate_model(
+        lambda v, x: model.apply(v, x), (v, x))
+    assert checks["traceable"]
+    assert checks["has_quantizable_layers"]
+    assert checks["all_ops_classified"]
+
+
+def test_layer_outputs(tmp_path, rng):
+    model = TinyMLP()
+    v, x = init_model(model, (2, 16))
+    fn = lambda v, x: model.apply(v, x)
+    sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+    sim.compute_encodings(v, iter([x]))
+    lou = LayerOutputUtil(sim, str(tmp_path / "outs"))
+    manifest = lou.generate_layer_outputs(v, x)
+    assert "linear_2.out" in manifest
+    arr = np.load(tmp_path / "outs" / "batch_0" / manifest["linear_2.out"])
+    assert arr.shape == (2, 10)
+    assert (tmp_path / "outs" / "batch_0" / "manifest.json").exists()
+
+
+def test_visualizations(tmp_path, rng):
+    model = TinyMLP()
+    v, x = init_model(model, (2, 16))
+    fn = lambda v, x: model.apply(v, x)
+    sim = QuantizationSimModel(fn, (v, x), quant_scheme="sqnr")
+    sim.compute_encodings(v, iter([x]))
+    p1 = tmp_path / "w.html"
+    p2 = tmp_path / "e.html"
+    p3 = tmp_path / "h.html"
+    visualize_weight_ranges(v, str(p1))
+    visualize_encoding_ranges(sim, str(p2))
+    visualize_calibration_histograms(sim, str(p3))
+    assert "svg" in p1.read_text() and "svg" in p2.read_text()
+    assert "polyline" in p3.read_text()
