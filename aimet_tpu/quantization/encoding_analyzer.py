@@ -47,6 +47,20 @@ PDF_SIZE = 512
 MIN_RANGE = 0.01
 GAMMA = 3.0  # saturation-cost weight (TfEnhancedEncodingAnalyzer.h:102)
 
+# Use the native (C++) host-side searches when the library builds; the numpy
+# implementations below remain the semantic reference and the fallback.
+USE_NATIVE = True
+
+
+def _native():
+    if not USE_NATIVE:
+        return None
+    try:
+        from .. import native as _native_mod
+    except Exception:
+        return None
+    return _native_mod if _native_mod.available() else None
+
 
 # ---------------------------------------------------------------------------
 # Observer states (pytrees) and jittable updates
@@ -638,14 +652,25 @@ class EncodingAnalyzer:
             return _fallback_encoding(bitwidth, symmetric, strict, unsigned)
         xleft = np.asarray(state.xleft, np.float64)
         pdf = np.asarray(state.pdf, np.float64)
+        nat = _native()
         if self.scheme == "sqnr":
+            if nat is not None:
+                return nat.sqnr_search(xleft, pdf, bitwidth, symmetric,
+                                       strict, unsigned)
             return _sqnr_search(xleft, pdf, bitwidth, symmetric, strict, unsigned)
         if self.scheme == "percentile":
-            mn, mx = _percentile_range(xleft, pdf, self.percentile)
+            if nat is not None:
+                mn, mx = nat.percentile_range(xleft, pdf, self.percentile)
+            else:
+                mn, mx = _percentile_range(xleft, pdf, self.percentile)
             mn, mx = min(mn, 0.0), max(mx, 0.0)
             return _encoding_tuple_from_min_max(mn, mx, bitwidth, symmetric, strict, unsigned)
         if self.scheme == "mse":
-            mn, mx = _mse_search(xleft, pdf, bitwidth, symmetric, strict, unsigned)
+            if nat is not None:
+                mn, mx = nat.mse_search(xleft, pdf, bitwidth, symmetric,
+                                        strict, unsigned)
+            else:
+                mn, mx = _mse_search(xleft, pdf, bitwidth, symmetric, strict, unsigned)
             mn, mx = min(mn, 0.0), max(mx, 0.0)
             return _encoding_tuple_from_min_max(mn, mx, bitwidth, symmetric, strict, unsigned)
         raise AssertionError(self.scheme)
