@@ -8,3 +8,4 @@ from .auto_quant import AutoQuant, AutoQuantResult
 from .quant_analyzer import QuantAnalyzer, QuantAnalyzerResult
 from .bn_reestimation import reestimate_bn_stats
 from .arch_checker import ArchChecker, ModelValidator
+from .gptq import GPTVQParameters, apply_gptq, apply_gptvq

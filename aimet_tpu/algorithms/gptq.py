@@ -1,0 +1,249 @@
+"""GPTQ and GPTVQ — Hessian-compensated post-training weight quantization.
+
+GPTVQ port of aimet_torch/gptvq/ (gptvq_weight.py:68, gptvq_optimizer.py:
+61-300): per-block vector-quantization codebooks with GPTQ-style inverse-
+Hessian error compensation.  Plain GPTQ (vector_dim=1 on the affine grid) is
+included as the standard INT4-LLM path; the reference only ships the VQ
+variant, but the compensation loop is identical (weight_update's column loop
+with ``err = (w - q)/diag`` propagated through the inverse Hessian).
+
+TPU-native details: the per-column compensation loop is a ``lax.fori_loop``
+with masked rank-1 updates (jits to one fused kernel per block); codebook
+k-means is a fixed-iteration jitted loop; the Hessian accumulates as
+``X^T X`` over calibration batches on device.
+
+Scope: linear (dot_general) layers — the LLM projections.  Conv support
+follows the reference's im2col path (future work).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import tree_util as jtu
+
+from ..quantization.affine import AffineEncoding
+from ..quantsim.qsim import QuantizationSimModel
+from ..utils.pytree import set_leaves
+
+DAMPENING = 0.01  # DAMPENING_PERCENTAGE (gptvq_optimizer.py)
+
+
+@dataclasses.dataclass
+class GPTVQParameters:
+    """gptvq/defs.py equivalent."""
+    vector_dim: int = 2
+    index_bw: int = 6              # 2^6 = 64 centroids
+    cols_per_block: int = 128
+    num_kmeans_iterations: int = 10
+
+
+def _collect_hessian(sim: QuantizationSimModel, params, op, data_batches):
+    """H = sum X^T X over calibration batches (layer inputs, 2D)."""
+    in_name = op.inputs[0].name
+    H = None
+    lhs_shape = op.attrs.get("lhs_shape")
+    for batch in data_batches:
+        args = batch if isinstance(batch, (tuple, list)) else (batch,)
+        x = sim.collect_activations(params, args, [in_name],
+                                    mode="quantized")[in_name]
+        if lhs_shape is not None and x.ndim != len(lhs_shape):
+            x = x.reshape((x.shape[0],) + tuple(lhs_shape[1:]))
+        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        H = x2.T @ x2 if H is None else H + x2.T @ x2
+    return H
+
+
+def _prep_hessian_inverse(H):
+    """Dead-column handling + dampening + inverse
+    (gptvq_optimizer.py:85-105, compute_inverse)."""
+    diag = jnp.diag(H)
+    dead = diag == 0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    damp = DAMPENING * jnp.mean(jnp.diag(H))
+    H = H + damp * jnp.eye(H.shape[0], dtype=H.dtype)
+    Hinv = jnp.linalg.inv(H)
+    return Hinv, dead
+
+
+def _gptq_block(W, Hinv_b, emin, emax, bitwidth, symmetric):
+    """Quantize one column block with error compensation.
+
+    W: (R, B) — rows = output channels, columns ordered by the block;
+    emin/emax: per-row (R, 1) encoding params.
+    Returns (Q, W_rest_update): quantized block and the accumulated error
+    term ``E @ Hinv[block, rest]`` is applied by the caller.
+    """
+    from ..quantization.grads import quantize_dequantize
+    R, B = W.shape
+
+    def body(i, carry):
+        W, Q, E = carry
+        w_i = jax.lax.dynamic_slice_in_dim(W, i, 1, axis=1)       # (R,1)
+        q_i = quantize_dequantize(w_i, emin, emax, bitwidth=bitwidth,
+                                  symmetric=symmetric)
+        d = Hinv_b[i, i]
+        err = (w_i - q_i) / d                                      # (R,1)
+        row = Hinv_b[i]                                            # (B,)
+        mask = (jnp.arange(B) > i).astype(W.dtype)
+        W = W - err * (row * mask)[None, :]
+        Q = jax.lax.dynamic_update_slice_in_dim(Q, q_i, i, axis=1)
+        E = jax.lax.dynamic_update_slice_in_dim(E, err, i, axis=1)
+        return W, Q, E
+
+    Q = jnp.zeros_like(W)
+    E = jnp.zeros_like(W)
+    W, Q, E = jax.lax.fori_loop(0, B, body, (W, Q, E))
+    return Q, E
+
+
+def apply_gptq(sim: QuantizationSimModel, params, data_batches: Sequence,
+               block_size: int = 128) -> object:
+    """Plain GPTQ over every linear layer; returns updated params and
+    freezes the used param encodings on ``sim``."""
+    if not isinstance(data_batches, (list, tuple)):
+        data_batches = list(data_batches)
+    graph = sim.graph
+    sim.compute_param_encodings(params)
+
+    new_params = params
+    for op in graph.ops:
+        if op.type != "linear" or "kernel" not in op.param_products:
+            continue
+        kpath = op.param_products["kernel"].param_path
+        if kpath not in sim.quantizers:
+            continue
+        spec = sim.quantizers[kpath]
+        sim.compute_param_encodings(new_params)
+        enc = sim.encodings[kpath]
+
+        leaves = jtu.tree_leaves(new_params)
+        w = leaves[graph._param_leaf_index[kpath]]    # (K, N): in x out
+        W = w.T.astype(jnp.float32)                   # (N rows, K cols)
+        K = W.shape[1]
+
+        if spec.channel_axis is not None:
+            emin = jnp.reshape(enc.min, (-1, 1))
+            emax = jnp.reshape(enc.max, (-1, 1))
+        else:
+            emin = jnp.reshape(enc.min, (1, 1))
+            emax = jnp.reshape(enc.max, (1, 1))
+
+        H = _collect_hessian(sim, new_params, op, data_batches)
+        Hinv, dead = _prep_hessian_inverse(H)
+        W = jnp.where(dead[None, :], 0.0, W)
+
+        Q = jnp.zeros_like(W)
+        for start in range(0, K, block_size):
+            end = min(start + block_size, K)
+            W_b = W[:, start:end]
+            Hinv_b = Hinv[start:end, start:end]
+            q_b, E = _gptq_block(W_b, Hinv_b, emin, emax,
+                                 spec.bitwidth, spec.symmetric)
+            Q = Q.at[:, start:end].set(q_b)
+            if end < K:
+                # propagate block error to the remaining columns
+                W = W.at[:, end:].add(-(E @ Hinv[start:end, end:]))
+
+        new_params = set_leaves(new_params, {kpath: Q.T.astype(w.dtype)})
+        sim.set_encoding(kpath, enc, freeze=True)
+    return new_params
+
+
+# ---------------------------------------------------------------------------
+# GPTVQ
+# ---------------------------------------------------------------------------
+
+def _weighted_kmeans(vectors, weights, k, iters, key):
+    """vectors (n, d), weights (n, d) importance -> centroids (k, d)."""
+    n, d = vectors.shape
+    # deterministic init: spread by norm order
+    order = jnp.argsort(jnp.sum(vectors * vectors, axis=1))
+    idx = order[jnp.linspace(0, n - 1, k).astype(jnp.int32)]
+    cent = vectors[idx]
+
+    def assign(cent):
+        d2 = jnp.sum(weights[:, None, :] * (vectors[:, None, :] - cent[None, :, :]) ** 2,
+                     axis=-1)
+        return jnp.argmin(d2, axis=1)
+
+    def step(_, cent):
+        a = assign(cent)
+        onehot = jax.nn.one_hot(a, k, dtype=vectors.dtype)      # (n, k)
+        wsum = onehot.T @ (weights * vectors)                    # (k, d)
+        wtot = onehot.T @ weights                                # (k, d)
+        new = wsum / jnp.maximum(wtot, 1e-12)
+        # keep empty clusters where they were
+        empty = (jnp.sum(onehot, axis=0) == 0)[:, None]
+        return jnp.where(empty, cent, new)
+
+    cent = jax.lax.fori_loop(0, iters, step, cent)
+    return cent, assign(cent)
+
+
+def _vq_assign(chunk, cent, inv_diag=None):
+    """chunk (R, d) -> nearest centroid values (R, d)."""
+    w = inv_diag if inv_diag is not None else jnp.ones_like(chunk)
+    d2 = jnp.sum(w[:, None, :] * (chunk[:, None, :] - cent[None, :, :]) ** 2,
+                 axis=-1)
+    a = jnp.argmin(d2, axis=1)
+    return cent[a], a
+
+
+def apply_gptvq(sim: QuantizationSimModel, params, data_batches: Sequence,
+                gptvq_params: Optional[GPTVQParameters] = None):
+    """GPTVQ weight update over linear layers (gptvq_weight.py:68-120)."""
+    gp = gptvq_params or GPTVQParameters()
+    if not isinstance(data_batches, (list, tuple)):
+        data_batches = list(data_batches)
+    graph = sim.graph
+    vd = gp.vector_dim
+    k = 2 ** gp.index_bw
+
+    new_params = params
+    for op in graph.ops:
+        if op.type != "linear" or "kernel" not in op.param_products:
+            continue
+        kpath = op.param_products["kernel"].param_path
+        if kpath not in sim.quantizers:
+            continue
+
+        leaves = jtu.tree_leaves(new_params)
+        w = leaves[graph._param_leaf_index[kpath]]
+        W = w.T.astype(jnp.float32)                   # (R, K)
+        R, K = W.shape
+        if K % vd != 0:
+            continue
+
+        H = _collect_hessian(sim, new_params, op, data_batches)
+        Hinv, dead = _prep_hessian_inverse(H)
+        W = jnp.where(dead[None, :], 0.0, W)
+        hdiag = jnp.diag(Hinv)
+
+        cols_per_block = min(gp.cols_per_block, K)
+        Q = jnp.zeros_like(W)
+        key = jax.random.PRNGKey(0)
+        for start in range(0, K, cols_per_block):
+            end = min(start + cols_per_block, K)
+            # codebook from the (error-compensated) current block
+            block = W[:, start:end]
+            vecs = block.reshape(-1, vd)
+            imp = jnp.tile(1.0 / jnp.maximum(hdiag[start:end], 1e-12),
+                           (R, 1)).reshape(-1, vd)
+            cent, _ = _weighted_kmeans(vecs, imp, min(k, vecs.shape[0]),
+                                       gp.num_kmeans_iterations, key)
+            # column-chunk loop with compensation
+            for i in range(start, end, vd):
+                chunk = W[:, i:i + vd]
+                diag = hdiag[i:i + vd][None, :]
+                qc, _ = _vq_assign(chunk, cent, 1.0 / diag * jnp.ones_like(chunk))
+                err = (chunk - qc) / diag
+                Q = Q.at[:, i:i + vd].set(qc)
+                if i + vd < K:
+                    W = W.at[:, i + vd:].add(-(err @ Hinv[i:i + vd, i + vd:]))
+
+        new_params = set_leaves(new_params, {kpath: Q.T.astype(w.dtype)})
+    return new_params
