@@ -1,1 +1,2 @@
 from .mesh import batch_sharding, make_mesh, replicated, shard_params, spec_for_path
+from .sharded_calibration import calibrate_data_parallel, merge_observer_states

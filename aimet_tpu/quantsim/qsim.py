@@ -502,6 +502,33 @@ class QuantizationSimModel:
         return captured
 
     # ------------------------------------------------------------------
+    def export_encodings_v1(self) -> Dict[str, Any]:
+        """AIMET '1.0.0' encodings format (experimental/v2/quantsim/
+        export_utils.py): flat lists with vectorized scale/offset."""
+        def entry(name):
+            enc = self._encodings[name]
+            spec = self.quantizers[name]
+            deltas = np.atleast_1d(np.asarray(enc.delta)).tolist()
+            offsets = [int(o) for o in np.atleast_1d(np.asarray(enc.offset))]
+            return {
+                "name": name,
+                "dtype": "INT",
+                "enc_type": ("PER_CHANNEL" if len(deltas) > 1 else "PER_TENSOR"),
+                "bw": spec.bitwidth,
+                "is_sym": bool(spec.symmetric),
+                "scale": deltas,
+                "offset": offsets,
+            }
+
+        act, param = [], []
+        for name, spec in self.quantizers.items():
+            if name not in self._encodings:
+                continue
+            (param if spec.kind == "param" else act).append(entry(name))
+        return {"version": "1.0.0",
+                "activation_encodings": act,
+                "param_encodings": param}
+
     def export_encodings(self) -> Dict[str, Any]:
         """AIMET '0.6.1' encodings JSON dict
         (_export_encodings_to_files, v1/quantsim.py:940-1044)."""

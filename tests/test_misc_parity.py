@@ -1,0 +1,209 @@
+"""Tests: winnow, backend-aware config, weight padding, PEFT/LoRA,
+1.0.0 export, distributed calibration merge."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimet_tpu.algorithms.peft import (
+    LoraConfig,
+    PeftQuantUtils,
+    init_lora_params,
+    lora_apply_fn,
+)
+from aimet_tpu.compression.winnow import winnow_model
+from aimet_tpu.graph.connected_graph import ConnectedGraph
+from aimet_tpu.models.cnn import TinyMLP, init_model
+from aimet_tpu.parallel.sharded_calibration import (
+    calibrate_data_parallel,
+    merge_histograms,
+    merge_min_max,
+)
+from aimet_tpu.quantsim.backend_aware import (
+    ModelOpDefParser,
+    SupportedKernel,
+    apply_backend_constraints,
+)
+from aimet_tpu.quantsim.qsim import QuantizationSimModel
+from aimet_tpu.utils.weight_padding import WeightPaddingParams, weight_pad
+
+
+class TestWinnow:
+    def test_winnow_reduces_and_runs(self, rng):
+        import flax.linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(16, (3, 3), padding="SAME")(x)
+                x = nn.relu(x)
+                x = nn.Conv(8, (3, 3), padding="SAME")(x)
+                return x
+
+        model = Net()
+        v, x = init_model(model, (2, 8, 8, 3))
+        fn = lambda v, x: model.apply(v, x)
+        g = ConnectedGraph(fn, (v, x))
+        reduced, reps = winnow_model(g, v, {"conv_1": [0, 5, 7]})
+        assert set(reps) == {"conv_0", "conv_1"}
+        out = reduced(v, x)
+        assert out.shape == (2, 8, 8, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestBackendAware:
+    def _sim(self, rng, bw=16):
+        model = TinyMLP()
+        v, x = init_model(model, (4, 16))
+        fn = lambda v, x: model.apply(v, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax",
+                                   default_output_bw=bw, default_param_bw=bw)
+        return sim, v, x
+
+    def test_json_op_defs_snap_bitwidths(self, rng, tmp_path):
+        sim, v, x = self._sim(rng, bw=16)
+        opdefs = {"Gemm": [{"activation": {"bitwidth": 8},
+                            "param": {"bitwidth": 8}}],
+                  "Relu": [{"activation": {"bitwidth": 8}}]}
+        p = tmp_path / "ops.json"
+        p.write_text(json.dumps(opdefs))
+        parser = ModelOpDefParser.from_json(str(p))
+        msgs = apply_backend_constraints(sim, parser)
+        assert msgs
+        assert sim.quantizers["linear_2"].bitwidth == 8
+        kernels = [s for n, s in sim.quantizers.items() if s.kind == "param"]
+        assert all(s.bitwidth == 8 for s in kernels)
+
+    def test_xml_op_defs(self, rng, tmp_path):
+        xml = """<OpDefs><OpDef><Name>Gemm</Name>
+        <SupportedKernel><Activation bitwidth="8"/><Param bitwidth="4"/>
+        </SupportedKernel></OpDef></OpDefs>"""
+        p = tmp_path / "ops.xml"
+        p.write_text(xml)
+        parser = ModelOpDefParser.from_xml(str(p))
+        ks = parser.supported_kernels_for("linear")
+        assert ks == [SupportedKernel(8, "int", 4, "int")]
+
+    def test_strict_mode_reports_violations(self, rng, tmp_path):
+        sim, v, x = self._sim(rng, bw=16)
+        p = tmp_path / "ops.json"
+        p.write_text(json.dumps(
+            {"Gemm": [{"activation": {"bitwidth": 8}, "param": {"bitwidth": 8}}]}))
+        msgs = apply_backend_constraints(
+            sim, ModelOpDefParser.from_json(str(p)), strict=True)
+        assert any("VIOLATION" in m for m in msgs)
+        assert sim.quantizers["linear_2"].bitwidth == 16  # untouched
+
+
+class TestWeightPadding:
+    def test_padding_grid(self, rng):
+        model = TinyMLP()
+        v, x = init_model(model, (4, 16))
+        fn = lambda v, x: model.apply(v, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+        sim.compute_param_encodings(v)
+        name = next(n for n, s in sim.quantizers.items() if s.kind == "param")
+        enc8 = sim.encodings[name]
+        padded = weight_pad(sim, v, {name: WeightPaddingParams(4, 8)})
+        # encoding now on the 8-bit grid with 4-bit-padded scale
+        enc = sim.encodings[name]
+        assert sim.quantizers[name].bitwidth == 8
+        np.testing.assert_allclose(float(enc.delta) * 16,
+                                   float(enc8.delta) * 16 / 16 * 16, rtol=0.2)
+        # padded weights are on the coarse 4-bit grid
+        import jax.tree_util as jtu
+        w = np.asarray(jtu.tree_leaves(padded)[sim.graph._param_leaf_index[name]])
+        coarse = w / (float(enc.delta) * 16)
+        np.testing.assert_allclose(coarse, np.round(coarse), atol=1e-3)
+        assert name in sim._frozen
+
+
+class TestPeft:
+    def test_lora_zero_init_is_identity(self, rng):
+        model = TinyMLP()
+        v, x = init_model(model, (4, 16))
+        base_fn = lambda p, x: model.apply(p, x)
+        cfg = LoraConfig(rank=4)
+        adapters = init_lora_params(jax.random.PRNGKey(0), v, cfg)
+        assert len(adapters) == 3  # three dense kernels
+        fn = lora_apply_fn(base_fn, v, adapters, cfg)
+        np.testing.assert_allclose(np.asarray(fn(adapters, x)),
+                                   np.asarray(base_fn(v, x)), rtol=1e-5)
+
+    def test_lora_trains_while_base_frozen(self, rng):
+        model = TinyMLP()
+        v, x = init_model(model, (8, 16))
+        base_fn = lambda p, x: model.apply(p, x)
+        sim = QuantizationSimModel(base_fn, (v, x), quant_scheme="minmax")
+        sim.compute_encodings(v, iter([x]))
+        PeftQuantUtils.freeze_base_model_encodings(sim)
+        cfg = LoraConfig(rank=4)
+        adapters = init_lora_params(jax.random.PRNGKey(1), v, cfg)
+        qfn = PeftQuantUtils.quantized_lora_fn(sim, v, adapters, cfg)
+        target = jnp.ones((8, 10))
+
+        g = jax.grad(lambda ad: jnp.mean((qfn(ad, x) - target) ** 2))(adapters)
+        gnorm = sum(float(jnp.sum(jnp.abs(l)))
+                    for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gnorm) and gnorm > 0
+        frozen_param = [n for n, s in sim.quantizers.items()
+                        if s.kind == "param"]
+        assert all(n in sim._frozen for n in frozen_param)
+
+
+class TestExportV1:
+    def test_1_0_0_format(self, rng):
+        model = TinyMLP()
+        v, x = init_model(model, (4, 16))
+        fn = lambda v, x: model.apply(v, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+        sim.compute_encodings(v, iter([x]))
+        blob = sim.export_encodings_v1()
+        assert blob["version"] == "1.0.0"
+        assert all(e["enc_type"] == "PER_TENSOR"
+                   for e in blob["param_encodings"])
+        names = {e["name"] for e in blob["activation_encodings"]}
+        assert "linear_2" in names
+
+
+class TestShardedCalibration:
+    def test_merge_min_max_exact(self, rng):
+        from aimet_tpu.quantization.encoding_analyzer import (
+            MinMaxState, update_min_max)
+        xs = [jnp.asarray(rng.randn(100).astype(np.float32) * s)
+              for s in (1, 3, 2)]
+        # sequential reference
+        seq = MinMaxState.init()
+        for x in xs:
+            seq = update_min_max(seq, x)
+        # sharded
+        workers = []
+        for x in xs:
+            w = update_min_max(MinMaxState.init(), x)
+            workers.append(w)
+        merged = merge_min_max(workers)
+        assert float(merged.min) == float(seq.min)
+        assert float(merged.max) == float(seq.max)
+
+    def test_data_parallel_calibration_close_to_sequential(self, rng):
+        model = TinyMLP()
+        v, x = init_model(model, (4, 16))
+        fn = lambda v, x: model.apply(v, x)
+        batches = [jnp.asarray(rng.randn(4, 16).astype(np.float32))
+                   for _ in range(4)]
+
+        sim_seq = QuantizationSimModel(fn, (v, x), quant_scheme="sqnr")
+        sim_seq.compute_encodings(v, iter(batches))
+
+        sim_dp = QuantizationSimModel(fn, (v, x), quant_scheme="sqnr")
+        calibrate_data_parallel(sim_dp, v, [batches[:2], batches[2:]])
+
+        for name in sim_seq.encodings:
+            a = sim_seq.encodings[name]
+            b = sim_dp.encodings[name]
+            # same data, different accumulation grids: close, not exact
+            scale = max(abs(float(a.max)), abs(float(a.min)), 1e-6)
+            assert abs(float(a.max) - float(b.max)) / scale < 0.15
+            assert abs(float(a.min) - float(b.min)) / scale < 0.15
