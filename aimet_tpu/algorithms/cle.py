@@ -26,7 +26,10 @@ from ..utils.pytree import set_leaves
 from .bn_fold import _bn_role_paths, _conv_axes, fold_all_batch_norms
 
 _SCALABLE = ("conv", "depthwise_conv", "linear")
-_TRANSPARENT = ("relu",)  # activations CLE may scale through
+# Activations CLE may scale through. ``clip`` (relu6) is only approximately
+# scale-invariant; including it mirrors the reference's ReLU6 -> ReLU
+# replacement before scaling (cross_layer_equalization.py:988 flow).
+_TRANSPARENT = ("relu", "clip")
 
 
 def _next_scalable(op: Op) -> Tuple[Optional[Op], bool]:

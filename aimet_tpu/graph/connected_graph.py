@@ -385,10 +385,14 @@ class ConnectedGraph:
                             if not isinstance(v, Literal) and param_only.get(id(resolve(v)), False):
                                 roots |= roots_of(resolve(v))
                         out_var = nxt.outvars[0]
+                    lit_operand = a if a_p else b
                     if len(grouped) >= 2 and roots:
                         op_type = "batchnorm"
-                    elif prim == "max" and self._is_literal_zero(a if b_p is False else b, eqn):
+                    elif prim == "max" and self._is_literal_zero(lit_operand, eqn):
                         op_type = "relu"
+                    elif prim in ("min", "max") and isinstance(lit_operand, Literal) \
+                            and not roots:
+                        op_type = "clip"  # e.g. relu6's min(x, 6.0)
                     else:
                         op_type = "scale"
                     params = {f"p{i}": self.products[id(self.jaxpr.invars[self._find_invar(r)])]

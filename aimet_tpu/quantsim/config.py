@@ -80,16 +80,23 @@ class QuantSimConfig:
     # quantized (quantsim_config.py:74-110 callback semantics)
     supergroups: List[Tuple[str, ...]] = dataclasses.field(
         default_factory=lambda: [
+            ("conv", "batchnorm", "relu", "clip"),
             ("conv", "batchnorm", "relu"),
+            ("conv", "batchnorm", "clip"),
             ("conv", "batchnorm"),
+            ("conv", "relu", "clip"),
             ("conv", "relu"),
             ("conv", "clip"),
+            ("depthwise_conv", "batchnorm", "relu", "clip"),
             ("depthwise_conv", "batchnorm", "relu"),
+            ("depthwise_conv", "batchnorm", "clip"),
             ("depthwise_conv", "batchnorm"),
+            ("depthwise_conv", "relu", "clip"),
             ("depthwise_conv", "relu"),
             ("depthwise_conv", "clip"),
             ("linear", "relu"),
             ("add", "relu"),
+            ("relu", "clip"),
         ])
 
     model_input_quantized: bool = True
