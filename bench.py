@@ -21,7 +21,7 @@ import numpy as np
 
 M, K, N = 1024, 4096, 4096
 N0, N1 = 8, 72
-REPS = 3
+REPS = 4
 
 
 def slope_time(make_chain):
