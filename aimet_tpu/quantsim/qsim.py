@@ -276,7 +276,7 @@ class QuantizationSimModel:
 
     def _run(self, params, args, mode: str, obs_states=None, analyzers=None,
              encodings=None, learn_range: bool = False,
-             capture: Optional[set] = None):
+             capture: Optional[set] = None, dynamic_params: bool = False):
         """Evaluate the traced jaxpr with quantization interception.
 
         mode: 'fp' (no quant), 'observe' (params fake-quantized w/ their
@@ -307,7 +307,10 @@ class QuantizationSimModel:
             if qname is not None:
                 spec = self.quantizers[qname]
                 if spec.kind == "param":
-                    if mode in ("observe", "quantized") and encodings is not None \
+                    if dynamic_params and mode == "quantized" \
+                            and qname in self.quantizers:
+                        val = self._dynamic_param_qdq(val, spec)
+                    elif mode in ("observe", "quantized") and encodings is not None \
                             and qname in encodings:
                         val = self._qdq(val, qname, encodings, learn_range)
                 else:  # model input
@@ -468,6 +471,36 @@ class QuantizationSimModel:
                 enc.pop(k, None)
         return self._run(params, args, "quantized", encodings=enc)[0]
 
+    def _dynamic_param_qdq(self, w, spec):
+        """Recompute the param encoding from the live weights inside the
+        traced graph (min-max scheme, jit-friendly) and fake-quant —
+        StaticGridQuantWrapper's per-step training behavior
+        (qc_quantize_op.py:771-777)."""
+        from ..quantization.affine import gate_min_max, reduce_min_max
+        mn, mx = reduce_min_max(w, channel_axis=spec.channel_axis)
+        mn, mx = gate_min_max(mn, mx)
+        emin = _broadcast_encoding(mn, jnp.ndim(w), spec.channel_axis)
+        emax = _broadcast_encoding(mx, jnp.ndim(w), spec.channel_axis)
+        return quantize_dequantize(
+            w, emin, emax, bitwidth=spec.bitwidth, symmetric=spec.symmetric,
+            strict_symmetric=spec.strict_symmetric,
+            unsigned_symmetric=spec.unsigned_symmetric)
+
+    def static_grid_qat_fn(self):
+        """Static-grid QAT forward: param encodings recomputed from the live
+        weights every step (min-max), activation encodings fixed. Use for
+        weight-training QAT where AdaRound-style frozen grids are not
+        desired."""
+        if not self._encodings:
+            raise RuntimeError("call compute_encodings first")
+
+        def apply_fn(params, *args):
+            return self._run(params, args, "quantized",
+                             encodings=self._encodings,
+                             dynamic_params=True)[0]
+
+        return apply_fn
+
     def qat_fn(self):
         """Range-learning QAT: returns ``(apply_fn, encoding_params)`` where
         ``apply_fn(params, enc_params, *args)`` produces analytic gradients
@@ -559,6 +592,18 @@ class QuantizationSimModel:
     def export(self, path: str, prefix: str):
         with open(f"{path}/{prefix}.encodings", "w") as f:
             json.dump(self.export_encodings(), f, indent=2, sort_keys=True)
+
+    def export_stablehlo(self, path: str, prefix: str, params, *example_inputs):
+        """Lower the quantized forward to StableHLO text — the TPU-native
+        analogue of the reference's ONNX export (OnnxSaver,
+        onnx_utils.py:419): a deployable compiler-IR artifact with the
+        fake-quant ops embedded."""
+        lowered = jax.jit(self.quantized_fn).lower(params, *example_inputs)
+        text = lowered.as_text()
+        out = f"{path}/{prefix}.stablehlo.mlir"
+        with open(out, "w") as f:
+            f.write(text)
+        return out
 
     def load_encodings(self, encodings_dict: Dict[str, Any]):
         """Restore encodings from an exported dict (load_encodings,

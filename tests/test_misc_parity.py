@@ -207,3 +207,18 @@ class TestShardedCalibration:
             scale = max(abs(float(a.max)), abs(float(a.min)), 1e-6)
             assert abs(float(a.max) - float(b.max)) / scale < 0.15
             assert abs(float(a.min) - float(b.min)) / scale < 0.15
+
+
+class TestStableHloExport:
+    def test_export_stablehlo(self, rng, tmp_path):
+        from aimet_tpu.models.cnn import TinyMLP, init_model
+        model = TinyMLP()
+        v, x = init_model(model, (2, 16))
+        fn = lambda v, x: model.apply(v, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+        sim.compute_encodings(v, iter([x]))
+        out = sim.export_stablehlo(str(tmp_path), "mlp", v, x)
+        text = open(out).read()
+        assert "stablehlo" in text or "mhlo" in text or "module" in text
+        # fake-quant ops are in the program (round/clamp from qdq)
+        assert "round" in text and ("clamp" in text or "minimum" in text)
