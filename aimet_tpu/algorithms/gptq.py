@@ -12,8 +12,9 @@ with masked rank-1 updates (jits to one fused kernel per block); codebook
 k-means is a fixed-iteration jitted loop; the Hessian accumulates as
 ``X^T X`` over calibration batches on device.
 
-Scope: linear (dot_general) layers — the LLM projections.  Conv support
-follows the reference's im2col path (future work).
+Linear (dot_general) layers use the activations directly; conv layers use
+the im2col path (conv_general_dilated_patches), matching the reference's
+2-D weight view (gptvq_optimizer.py:207 _convert_weight_to_2d_tensor).
 """
 from __future__ import annotations
 
@@ -41,18 +42,43 @@ class GPTVQParameters:
     num_kmeans_iterations: int = 10
 
 
+def _layer_input_2d(op, x):
+    """Layer input as 2-D rows x in-features (im2col for convs)."""
+    lhs_shape = op.attrs.get("lhs_shape")
+    if lhs_shape is not None and x.ndim != len(lhs_shape):
+        x = x.reshape((x.shape[0],) + tuple(lhs_shape[1:]))
+    if op.type == "linear":
+        return x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    # conv: extract patches; feature order (in_ch, kh, kw)
+    kshape = op.param_products["kernel"].shape  # flax HWIO
+    kh, kw = kshape[0], kshape[1]
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (kh, kw), tuple(op.attrs["window_strides"]), op.attrs["padding"],
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, (kh, kw, x.shape[-1], 1), ("NHWC", "HWIO", "NHWC")))
+    return patches.reshape(-1, patches.shape[-1]).astype(jnp.float32)
+
+
+def _conv_weight_2d(w):
+    """flax (kh, kw, I, O) -> (O rows, I*kh*kw cols) matching patch order."""
+    kh, kw, I, O = w.shape
+    return w.transpose(2, 0, 1, 3).reshape(I * kh * kw, O).T
+
+
+def _conv_weight_from_2d(W2d, kshape):
+    kh, kw, I, O = kshape
+    return W2d.T.reshape(I, kh, kw, O).transpose(1, 2, 0, 3)
+
+
 def _collect_hessian(sim: QuantizationSimModel, params, op, data_batches):
-    """H = sum X^T X over calibration batches (layer inputs, 2D)."""
+    """H = sum X^T X over calibration batches (layer inputs, 2D/im2col)."""
     in_name = op.inputs[0].name
     H = None
-    lhs_shape = op.attrs.get("lhs_shape")
     for batch in data_batches:
         args = batch if isinstance(batch, (tuple, list)) else (batch,)
         x = sim.collect_activations(params, args, [in_name],
                                     mode="quantized")[in_name]
-        if lhs_shape is not None and x.ndim != len(lhs_shape):
-            x = x.reshape((x.shape[0],) + tuple(lhs_shape[1:]))
-        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        x2 = _layer_input_2d(op, x)
         H = x2.T @ x2 if H is None else H + x2.T @ x2
     return H
 
@@ -111,7 +137,7 @@ def apply_gptq(sim: QuantizationSimModel, params, data_batches: Sequence,
 
     new_params = params
     for op in graph.ops:
-        if op.type != "linear" or "kernel" not in op.param_products:
+        if op.type not in ("linear", "conv") or "kernel" not in op.param_products:
             continue
         kpath = op.param_products["kernel"].param_path
         if kpath not in sim.quantizers:
@@ -121,8 +147,11 @@ def apply_gptq(sim: QuantizationSimModel, params, data_batches: Sequence,
         enc = sim.encodings[kpath]
 
         leaves = jtu.tree_leaves(new_params)
-        w = leaves[graph._param_leaf_index[kpath]]    # (K, N): in x out
-        W = w.T.astype(jnp.float32)                   # (N rows, K cols)
+        w = leaves[graph._param_leaf_index[kpath]]
+        if op.type == "linear":                       # (K, N): in x out
+            W = w.T.astype(jnp.float32)               # (N rows, K cols)
+        else:
+            W = _conv_weight_2d(w).astype(jnp.float32)
         K = W.shape[1]
 
         if spec.channel_axis is not None:
@@ -148,7 +177,11 @@ def apply_gptq(sim: QuantizationSimModel, params, data_batches: Sequence,
                 # propagate block error to the remaining columns
                 W = W.at[:, end:].add(-(E @ Hinv[start:end, end:]))
 
-        new_params = set_leaves(new_params, {kpath: Q.T.astype(w.dtype)})
+        if op.type == "linear":
+            w_new = Q.T.astype(w.dtype)
+        else:
+            w_new = _conv_weight_from_2d(Q, w.shape).astype(w.dtype)
+        new_params = set_leaves(new_params, {kpath: w_new})
         sim.set_encoding(kpath, enc, freeze=True)
     return new_params
 

@@ -37,15 +37,20 @@ from ..ops.kv_cache import (
 PROJ_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def _use_pallas():
-    return jax.default_backend() == "tpu"
+# Below this many rows the matmul is overhead/bandwidth-bound and XLA's
+# fused int8->bf16 convert-matmul beats a pallas_call per projection.
+PALLAS_MIN_M = 256
+
+
+def _use_pallas(m: int) -> bool:
+    return jax.default_backend() == "tpu" and m >= PALLAS_MIN_M
 
 
 def _qmm(x2d, wq, scale, mode):
     if mode == "w8":
-        fn = matmul_w8 if _use_pallas() else matmul_w8_xla
+        fn = matmul_w8 if _use_pallas(x2d.shape[0]) else matmul_w8_xla
     else:
-        fn = matmul_w4 if _use_pallas() else matmul_w4_xla
+        fn = matmul_w4 if _use_pallas(x2d.shape[0]) else matmul_w4_xla
     return fn(x2d, wq, scale)
 
 
@@ -67,10 +72,16 @@ def quantize_transformer_weights(variables, cfg: TransformerConfig,
             "attn_norm": lp["attn_norm"]["scale"],
             "mlp_norm": lp["mlp_norm"]["scale"],
         }
-        for name in ("wq", "wk", "wv", "wo"):
-            layer[name] = quant(lp["attn"][name]["kernel"])
-        for name in ("w_gate", "w_up", "w_down"):
-            layer[name] = quant(lp["mlp"][name]["kernel"])
+        # fuse qkv and gate|up into single matmuls (fewer, larger MXU ops —
+        # per-channel scales concatenate exactly)
+        wqkv = jnp.concatenate([lp["attn"][n]["kernel"]
+                                for n in ("wq", "wk", "wv")], axis=1)
+        layer["wqkv"] = quant(wqkv)
+        layer["wo"] = quant(lp["attn"]["wo"]["kernel"])
+        w_gu = jnp.concatenate([lp["mlp"]["w_gate"]["kernel"],
+                                lp["mlp"]["w_up"]["kernel"]], axis=1)
+        layer["w_gateup"] = quant(w_gu)
+        layer["w_down"] = quant(lp["mlp"]["w_down"]["kernel"])
         out["layers"].append(layer)
     return out
 
@@ -92,9 +103,10 @@ def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
                cache_index, mode, prefill: bool):
     B, T, _ = x.shape
     H, KH, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    q = _proj(x, layer["wq"], mode).reshape(B, T, H, D)
-    k = _proj(x, layer["wk"], mode).reshape(B, T, KH, D)
-    v = _proj(x, layer["wv"], mode).reshape(B, T, KH, D)
+    qkv = _proj(x, layer["wqkv"], mode)
+    q = qkv[..., :H * D].reshape(B, T, H, D)
+    k = qkv[..., H * D:(H + KH) * D].reshape(B, T, KH, D)
+    v = qkv[..., (H + KH) * D:].reshape(B, T, KH, D)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -120,8 +132,9 @@ def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
 
 
 def _mlp(cfg, layer, x, mode):
-    gate = _proj(x, layer["w_gate"], mode)
-    up = _proj(x, layer["w_up"], mode)
+    gu = _proj(x, layer["w_gateup"], mode)
+    gate = gu[..., :cfg.d_ff]
+    up = gu[..., cfg.d_ff:]
     return _proj(jax.nn.silu(gate) * up, layer["w_down"], mode)
 
 
@@ -164,8 +177,8 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
         x = x + _mlp(cfg, layer, _rms_norm(x, layer["mlp_norm"], cfg.norm_eps), mode)
         new_caches.append(cache)
     x = _rms_norm(x, qw["final_norm"], cfg.norm_eps)
-    logits = _qmm(x.reshape(B * T, -1).astype(jnp.float32), *qw["lm_head"],
-                  mode=mode).reshape(B, T, -1)
+    logits = _qmm(x.reshape(B * T, -1), *qw["lm_head"],
+                  mode=mode).reshape(B, T, -1).astype(jnp.float32)
     return logits, (new_caches if caches is not None else None)
 
 

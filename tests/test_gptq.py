@@ -86,3 +86,30 @@ def test_gptvq_runs_and_reconstructs(rng):
     # few unique values per column pair (codebook structure)
     uniq = np.unique(np.round(w1.astype(np.float64), 6)).size
     assert uniq < w1.size / 2
+
+
+def test_gptq_conv_layers(rng):
+    import flax.linen as nn
+    from aimet_tpu.models.cnn import init_model
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = nn.Conv(4, (3, 3), padding="SAME")(x)
+            return x
+
+    model = Net()
+    v, x = init_model(model, (4, 8, 8, 3))
+    fn = lambda p, x: model.apply(p, x)
+    sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax",
+                               default_param_bw=4)
+    batches = [jnp.asarray(rng.randn(4, 8, 8, 3).astype(np.float32))
+               for _ in range(2)]
+    sim.compute_encodings(v, iter(batches))
+    ref = model.apply(v, batches[0])
+    err0 = float(jnp.mean(jnp.abs(sim.quantized_fn(v, batches[0]) - ref)))
+    new_v = apply_gptq(sim, v, batches, block_size=32)
+    err1 = float(jnp.mean(jnp.abs(sim.quantized_fn(new_v, batches[0]) - ref)))
+    assert err1 < err0

@@ -90,3 +90,40 @@ class TestBnReestimation:
                                    np.asarray(allx.mean(0)), rtol=1e-3, atol=1e-5)
         np.testing.assert_allclose(np.asarray(stats["var"]),
                                    np.asarray(allx.var(0)), rtol=1e-2, atol=1e-5)
+
+
+class TestRecurrentQat:
+    def test_qat_improves_quantized_lstm(self, rng):
+        """BASELINE row 6 in miniature: INT8 recurrent QAT — training through
+        the per-timestep fake-quant forward recovers accuracy on a
+        sequence-regression task."""
+        import optax
+        params = init_lstm_params(jax.random.PRNGKey(0), 4, 8)
+        x = jnp.asarray(rng.randn(16, 10, 4).astype(np.float32))
+        # target: outputs of a 'teacher' LSTM
+        teacher = init_lstm_params(jax.random.PRNGKey(7), 4, 8)
+        rq_t = RecurrentQuantizer("lstm")
+        target, _ = rq_t.fp_forward(teacher, x)
+
+        rq = RecurrentQuantizer("lstm", RecurrentQuantSpec(
+            bitwidth_act=8, bitwidth_param=8))
+        rq.compute_encodings(params, [x])
+
+        def loss(p):
+            out, _ = rq.quantized_forward(p, x)
+            return jnp.mean((out - target) ** 2)
+
+        opt = optax.adam(5e-3)
+        state = opt.init(params)
+        l0 = float(loss(params))
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(loss)(p)
+            up, s = opt.update(g, s)
+            return optax.apply_updates(p, up), s, l
+
+        p = params
+        for _ in range(60):
+            p, state, l = step(p, state)
+        assert float(l) < l0 * 0.7  # STE gradients train through the scan
