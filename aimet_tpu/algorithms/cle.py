@@ -142,8 +142,6 @@ def _scale_triple(pv: _ParamView, l1: Op, l2: Op, l3: Op):
     cbrt = jnp.cbrt(r1 * r2 * r3)
     s12 = r1 / cbrt
     s23 = cbrt / r3
-    for s in (s12, s23):
-        pass
     s12 = jnp.where(jnp.isfinite(s12) & (s12 != 0), s12, 1.0)
     s23 = jnp.where(jnp.isfinite(s23) & (s23 != 0), s23, 1.0)
 

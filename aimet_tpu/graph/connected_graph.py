@@ -207,10 +207,6 @@ class ConnectedGraph:
         self._param_only = param_only
         self._param_roots = param_roots
 
-        # 2. raw data ops (skip param-preprocessing eqns)
-        data_eqns = [e for e in jaxpr.eqns
-                     if not all(param_only.get(id(ov), False) for ov in e.outvars)]
-
         # producer eqn of each var
         producer_eqn: Dict[int, Any] = {}
         for e in jaxpr.eqns:
@@ -270,9 +266,7 @@ class ConnectedGraph:
                 if seen > 4:
                     return None
 
-        i = 0
         eqn_list = list(jaxpr.eqns)
-        n_eqns = len(eqn_list)
         id_to_pos = {id(e): k for k, e in enumerate(eqn_list)}
 
         # Softmax prescan: group the 5-eqn jax.nn.softmax tail before the main

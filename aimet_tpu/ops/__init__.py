@@ -17,3 +17,4 @@ from .kv_cache import (
     init_quantized_kv_cache,
     prefill_kv,
 )
+from .requant import get_scale_factor, requant_scale_and_bias, requantize

@@ -569,15 +569,10 @@ class EncodingAnalyzer:
         if self.channel_axis is not None:
             shape = (tensor_shape[self.channel_axis],)
         if self.scheme == "minmax":
-            hist_state = MinMaxState.init(shape)
-        elif self.scheme == "entropy":
-            hist_state = RescalingHistogramState.init(shape)
-        else:
-            hist_state = HistogramState.init(shape)
-        if self.scheme == "minmax":
-            return hist_state
-        # All histogram schemes also track running min/max for fallbacks.
-        return hist_state
+            return MinMaxState.init(shape)
+        if self.scheme == "entropy":
+            return RescalingHistogramState.init(shape)
+        return HistogramState.init(shape)
 
     def _per_channel_view(self, x: jax.Array) -> jax.Array:
         ax = self.channel_axis

@@ -222,3 +222,38 @@ class TestStableHloExport:
         assert "stablehlo" in text or "mhlo" in text or "module" in text
         # fake-quant ops are in the program (round/clamp from qdq)
         assert "round" in text and ("clamp" in text or "minimum" in text)
+
+
+class TestRequant:
+    def test_scale_factor_split(self):
+        from aimet_tpu.ops.requant import get_scale_factor
+        for x in (0.0123, 1.0, 3.7, 255.0, 1e-4):
+            e, m = get_scale_factor(x, 16)
+            approx = m * 2.0 ** (e - 16)
+            assert abs(approx - x) / x < 1e-4
+
+    def test_int_pipeline_end_to_end(self, rng):
+        """Integer conv pipeline: int8 in, int32 acc, requant to int8 out —
+        matches float simulation within one LSB."""
+        import jax.numpy as jnp
+        from aimet_tpu.ops.requant import requant_scale_and_bias, requantize
+
+        x = rng.rand(32, 16).astype(np.float32)            # unsigned acts
+        w = (rng.randn(16, 8) * 0.1).astype(np.float32)
+        bias = (rng.randn(8) * 0.05).astype(np.float32)
+        in_scale = x.max() / 255.0
+        w_scale = np.abs(w).max(axis=0) / 127.0
+        y_float = x @ w + bias
+        out_scale = (y_float.max() - min(y_float.min(), 0)) / 255.0
+        out_off = round(min(y_float.min(), 0) / out_scale)
+
+        q_in = np.clip(np.round(x / in_scale), 0, 255).astype(np.int32)
+        q_w = np.clip(np.round(w / w_scale), -127, 127).astype(np.int32)
+        acc = q_in @ q_w                                    # int32 per-chan
+
+        rs, bq = requant_scale_and_bias(jnp.asarray(bias), in_scale,
+                                        jnp.asarray(w_scale), out_scale)
+        q_out = requantize(jnp.asarray(acc), rs, bq, out_off, 8)
+        y_deq = (np.asarray(q_out) + out_off) * out_scale
+        err = np.abs(y_deq - y_float).max()
+        assert err <= out_scale * 1.5 + np.abs(y_float).max() * 0.02
