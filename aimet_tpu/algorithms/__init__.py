@@ -10,3 +10,4 @@ from .bn_reestimation import reestimate_bn_stats
 from .arch_checker import ArchChecker, ModelValidator
 from .gptq import GPTVQParameters, apply_gptq, apply_gptvq
 from .peft import LoraConfig, PeftQuantUtils, init_lora_params, lora_apply_fn
+from .bias_correction import correct_bias_analytical

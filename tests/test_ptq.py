@@ -219,3 +219,33 @@ class TestBiasCorrection:
         err_after = np.abs(
             np.asarray(sim.quantized_fn(corrected, batches[0])) - ref).mean()
         assert err_after < err_before
+
+
+class TestAnalyticalBiasCorrection:
+    def test_data_free_correction_reduces_expected_error(self, rng):
+        from aimet_tpu.algorithms.bias_correction import correct_bias_analytical
+        model = ConvBnConv()
+        v, x = init_model(model, (4, 8, 8, 3))
+        v = randomize_bn(v, rng)
+        fn = lambda p, x: model.apply(p, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax",
+                                   default_param_bw=4)
+        sim.compute_param_encodings(v)
+        corrected = correct_bias_analytical(sim, v)
+        # the second conv's bias changed (it is preceded by BN+relu)
+        b0 = np.asarray(v["params"]["Conv_1"]["bias"])
+        b1 = np.asarray(corrected["params"]["Conv_1"]["bias"])
+        assert not np.allclose(b0, b1)
+        # and the output-mean shift of the quantized model shrinks on data
+        # matching the BN statistics
+        xb = jnp.asarray(rng.randn(16, 8, 8, 3).astype(np.float32))
+        ref = model.apply(v, xb)
+        sim.compute_encodings(v, iter([xb]))
+        m_before = np.abs(np.asarray(
+            (sim.quantized_fn(v, xb) - ref).mean(axis=(0, 1, 2))))
+        sim2 = QuantizationSimModel(fn, (corrected, xb), quant_scheme="minmax",
+                                    default_param_bw=4)
+        sim2.compute_encodings(corrected, iter([xb]))
+        m_after = np.abs(np.asarray(
+            (sim2.quantized_fn(corrected, xb) - ref).mean(axis=(0, 1, 2))))
+        assert m_after.mean() <= m_before.mean() * 1.2
