@@ -119,3 +119,20 @@ class TestContinuousBatching:
         batcher.run_until_done(max_steps=100)
         np.testing.assert_array_equal(np.asarray(r1.generated), expected)
         assert len(r2.generated) == 6
+
+
+class TestShardedServing:
+    def test_tp_dp_generation_matches_single_device(self, tiny_model, rng):
+        from aimet_tpu.parallel.mesh import make_mesh
+        from aimet_tpu.serving.multihost import ShardedQuantizedLLM
+
+        cfg, model, variables = tiny_model
+        solo = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
+        prompts = jnp.asarray(rng.randint(0, 64, (4, 6)), jnp.int32)
+        ref = solo.generate(prompts, 5)
+
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = ShardedQuantizedLLM(solo.qw, cfg, mesh, mode="w8",
+                                      max_len=32)
+        out = sharded.generate(prompts, 5)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
