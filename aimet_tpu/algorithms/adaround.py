@@ -193,7 +193,7 @@ def apply_adaround(sim: QuantizationSimModel, params, data_batches: Sequence,
                 op.param_products["bias"].param_path]]
 
         # refresh this layer's encoding from the current (possibly CLE'd) w
-        sim.compute_param_encodings(new_params)
+        sim.compute_param_encodings(new_params, only=[kpath])
         encoding = sim.encodings[kpath]
 
         # sample activations: quantized-so-far inputs, FP targets

@@ -178,6 +178,6 @@ def correct_bias(sim: QuantizationSimModel, params, data_batches: List,
         leaves = jtu.tree_leaves(corrected)
         bias = leaves[graph._param_leaf_index[bias_path]]
         corrected = set_leaves(corrected, {bias_path: bias - error})
-        # keep the sim's param encodings in sync with the corrected weights
-        sim.compute_param_encodings(corrected)
+        # (no encoding resync needed: biases are unquantized by default and
+        # kernel encodings are untouched by bias updates)
     return corrected

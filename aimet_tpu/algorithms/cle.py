@@ -61,10 +61,12 @@ def find_cls_sets(graph: ConnectedGraph) -> List[Tuple[Op, ...]]:
     triples (conv, depthwise_conv, conv) (GraphSearchUtils,
     cross_layer_equalization.py:87)."""
     sets = []
-    used_as_second = set()
+    triple_interior = set()
     for op in graph.ops:
         if op.type not in _SCALABLE:
             continue
+        if op.name in triple_interior:
+            continue  # already scaled as the middle of a depthwise triple
         nxt, _ = _next_scalable(op)
         if nxt is None:
             continue
@@ -72,10 +74,12 @@ def find_cls_sets(graph: ConnectedGraph) -> List[Tuple[Op, ...]]:
             nxt2, _ = _next_scalable(nxt)
             if nxt2 is not None and nxt2.type in ("conv", "linear"):
                 sets.append((op, nxt, nxt2))
-                continue
-        if op.type == "depthwise_conv" and sets and len(sets[-1]) == 3 \
-                and sets[-1][1] is op:
-            continue  # interior of a recorded triple
+                triple_interior.add(nxt.name)
+            # a conv->depthwise *pair* cannot be scaled: the depthwise
+            # kernel's input axis has size 1 (scaling would mis-broadcast)
+            continue
+        if nxt.type == "depthwise_conv":
+            continue
         sets.append((op, nxt))
     return sets
 

@@ -143,7 +143,7 @@ def apply_gptq(sim: QuantizationSimModel, params, data_batches: Sequence,
         if kpath not in sim.quantizers:
             continue
         spec = sim.quantizers[kpath]
-        sim.compute_param_encodings(new_params)
+        sim.compute_param_encodings(new_params, only=[kpath])
         enc = sim.encodings[kpath]
 
         leaves = jtu.tree_leaves(new_params)

@@ -79,6 +79,9 @@ def apply_seq_mse(sim: QuantizationSimModel, params, data_batches: Sequence,
         _, _, out_feat_ax = _conv_axes(op)
         fracs = jnp.arange(1, num_candidates + 1, dtype=jnp.float32) / num_candidates
 
+        # FP reference outputs don't depend on the candidate: compute once
+        out_fps = [_layer_apply(op, xfp, w, bias) for xfp in x_fp]
+
         def candidate_loss(frac):
             cand_enc = compute_encoding_from_min_max(
                 w_min * frac, w_max * frac, spec.bitwidth, spec.symmetric,
@@ -95,9 +98,8 @@ def apply_seq_mse(sim: QuantizationSimModel, params, data_batches: Sequence,
                 strict_symmetric=spec.strict_symmetric,
                 unsigned_symmetric=spec.unsigned_symmetric)
             total = 0.0
-            for xq, xfp in zip(x_q, x_fp):
+            for xq, out_fp in zip(x_q, out_fps):
                 out_q = _layer_apply(op, xq, w_q, bias)
-                out_fp = _layer_apply(op, xfp, w, bias)
                 axes = tuple(d for d in range(out_q.ndim) if d != out_feat_ax)
                 if loss_fn == "mse":
                     total = total + jnp.mean((out_q - out_fp) ** 2, axis=axes)

@@ -35,6 +35,11 @@ def reconstruct_weights(x_samples, y_samples, op: Op, keep, w, bias):
     x_samples: layer input (N,H,W,I) or (N,I); y_samples: original layer
     output (pre-activation).
     """
+    # y_samples is the op's output *including* its bias-add (the graph folds
+    # the bias into the op); regress against the bias-free target since the
+    # replacement op re-adds the bias (reference weight_reconstruction.py).
+    if bias is not None:
+        y_samples = y_samples - bias
     if op.type == "linear":
         x_k = x_samples[:, keep]
         sol = jnp.linalg.lstsq(x_k, y_samples)[0]
@@ -85,15 +90,24 @@ def make_channel_pruned_replacements(
     keep = select_channels_to_keep(w, num_keep, in_ax)
 
     # walk back through channel-preserving ops (winnow mask propagation,
-    # aimet_common/winnow/mask.py Direct-connectivity ops)
+    # aimet_common/winnow/mask.py Direct-connectivity ops); every hop must be
+    # single-consumer or the pruned channels would corrupt a sibling branch
     prev = op.inputs[0].producer
     hops = 0
     while prev is not None and prev.type in ("relu", "clip", "maxpool",
                                              "avgpool", "max", "min") and hops < 6:
+        if len(prev.output.consumers) != 1:
+            raise ValueError(
+                f"cannot winnow input of {op.name}: {prev.name}'s output has "
+                f"multiple consumers")
         prev = prev.inputs[0].producer
         hops += 1
     if prev is None or prev.type not in ("conv", "linear", "depthwise_conv"):
         raise ValueError(f"cannot winnow input of {op.name}: no previous layer")
+    if len(prev.output.consumers) != 1:
+        raise ValueError(
+            f"cannot winnow input of {op.name}: {prev.name}'s output has "
+            f"multiple consumers")
     p_out_ax, _, _ = _conv_axes(prev)
     pw = leaves[graph._param_leaf_index[prev.param_products["kernel"].param_path]]
     pw_k = jnp.take(pw, keep, axis=p_out_ax)

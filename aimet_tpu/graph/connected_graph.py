@@ -548,6 +548,12 @@ class ConnectedGraph:
         return group, src
 
     # ------------------------------------------------------------------
+    def resolve_var(self, v):
+        """Follow pass-through aliases to the semantic var."""
+        while id(v) in self.alias:
+            v = self.alias[id(v)]
+        return v
+
     def get_op(self, name: str) -> Op:
         for op in self.ops:
             if op.name == name:

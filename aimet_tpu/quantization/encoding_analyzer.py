@@ -603,14 +603,25 @@ class EncodingAnalyzer:
         else:
             state_np = jax.tree_util.tree_map(np.asarray, state)
             n = int(jax.tree_util.tree_leaves(state_np)[0].shape[0])
-            rows = [
-                self._compute_one(
-                    jax.tree_util.tree_map(lambda a, i=i: a[i], state_np),
+            nat = _native()
+            if (self.scheme == "sqnr" and nat is not None
+                    and bool(np.all(np.asarray(state_np.initialized)))):
+                # one batched native call instead of n ctypes round-trips
+                out = nat.sqnr_search_batch(
+                    np.asarray(state_np.xleft, np.float64),
+                    np.asarray(state_np.pdf, np.float64),
                     bitwidth, symmetric, strict_symmetric, unsigned_symmetric)
-                for i in range(n)
-            ]
-            mins, maxs, deltas, offsets = (
-                np.asarray(col, np.float32) for col in zip(*rows))
+                mins, maxs, deltas, offsets = (
+                    out[:, j].astype(np.float32) for j in range(4))
+            else:
+                rows = [
+                    self._compute_one(
+                        jax.tree_util.tree_map(lambda a, i=i: a[i], state_np),
+                        bitwidth, symmetric, strict_symmetric, unsigned_symmetric)
+                    for i in range(n)
+                ]
+                mins, maxs, deltas, offsets = (
+                    np.asarray(col, np.float32) for col in zip(*rows))
         return AffineEncoding(
             min=jnp.asarray(mins), max=jnp.asarray(maxs),
             delta=jnp.asarray(deltas), offset=jnp.asarray(offsets),

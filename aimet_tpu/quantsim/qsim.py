@@ -136,6 +136,8 @@ class QuantizationSimModel:
         self._act_var_q: Dict[int, str] = {}     # id(var) -> quantizer name
         self._param_var_q: Dict[int, str] = {}
         self._input_var_q: Dict[int, str] = {}
+        self._eqn_input_q: Dict[int, list] = {}  # id(eqn) -> [(argpos, name)]
+        self._output_var_q: Dict[int, str] = {}
         self._encodings: Dict[str, AffineEncoding] = {}
         self._frozen: set = set()
         self._build_quantizers()
@@ -238,6 +240,51 @@ class QuantizationSimModel:
                 self.quantizers[prod.param_path] = spec
                 self._param_var_q[id(prod.var)] = prod.param_path
 
+        # --- per-op input quantizers ("ops"/"op_type" is_input_quantized)
+        for op in self.graph.ops:
+            ot_cfg = cfg.op_type.get(op.type)
+            in_q = cfg.input_quantized
+            if ot_cfg is not None and ot_cfg.is_input_quantized is not None:
+                in_q = ot_cfg.is_input_quantized
+            if not in_q or not op.inputs:
+                continue
+            prod = op.inputs[0]
+            if not jnp.issubdtype(prod.dtype, jnp.floating):
+                continue
+            name = f"{op.name}_input"
+            self.quantizers[name] = QuantizerSpec(
+                name=name, kind="act", bitwidth=self.default_output_bw,
+                symmetric=cfg.act_symmetric,
+                strict_symmetric=cfg.strict_symmetric,
+                unsigned_symmetric=cfg.unsigned_symmetric,
+                scheme=self.quant_scheme, percentile=self.percentile)
+            target = prod.var
+            for eqn in op.eqns:
+                for pos, v in enumerate(eqn.invars):
+                    if not isinstance(v, Literal) \
+                            and self.graph.resolve_var(v) is target:
+                        self._eqn_input_q.setdefault(id(eqn), []).append(
+                            (pos, name))
+
+        # --- model output quantizers (model_output is_output_quantized)
+        if cfg.model_output_quantized:
+            for i, var in enumerate(self.graph.jaxpr.outvars):
+                if isinstance(var, Literal):
+                    continue
+                rvar = self.graph.resolve_var(var)
+                if id(rvar) in self._act_var_q:
+                    continue  # producing op already quantizes it
+                if not jnp.issubdtype(rvar.aval.dtype, jnp.floating):
+                    continue
+                name = f"model_output_{i}"
+                self.quantizers[name] = QuantizerSpec(
+                    name=name, kind="act", bitwidth=self.default_output_bw,
+                    symmetric=cfg.act_symmetric,
+                    strict_symmetric=cfg.strict_symmetric,
+                    unsigned_symmetric=cfg.unsigned_symmetric,
+                    scheme=self.quant_scheme, percentile=self.percentile)
+                self._output_var_q[id(rvar)] = name
+
         # --- model input quantizers
         if cfg.model_input_quantized:
             for i, var in enumerate(self.graph.input_vars):
@@ -324,7 +371,18 @@ class QuantizationSimModel:
             maybe_capture(var, val)
 
         for eqn in jaxpr.eqns:
-            outs = _eval_eqn(eqn, [read(v) for v in eqn.invars])
+            invals = [read(v) for v in eqn.invars]
+            hooks = self._eqn_input_q.get(id(eqn))
+            if hooks:
+                for pos, qname in hooks:
+                    if mode == "observe" and analyzers is not None:
+                        obs_states[qname] = analyzers[qname].update(
+                            obs_states[qname], invals[pos])
+                    elif mode == "quantized" and encodings is not None \
+                            and qname in encodings:
+                        invals[pos] = self._qdq(invals[pos], qname, encodings,
+                                                learn_range)
+            outs = _eval_eqn(eqn, invals)
             for ov, oval in zip(eqn.outvars, outs):
                 qname = self._act_var_q.get(id(ov))
                 if qname is not None:
@@ -337,7 +395,20 @@ class QuantizationSimModel:
                 env[id(ov)] = oval
                 maybe_capture(ov, oval)
 
-        outs = [read(v) for v in jaxpr.outvars]
+        outs = []
+        for v in jaxpr.outvars:
+            val = read(v)
+            if not isinstance(v, Literal):
+                qname = self._output_var_q.get(id(v)) \
+                    or self._output_var_q.get(id(self.graph.resolve_var(v)))
+                if qname is not None:
+                    if mode == "observe" and analyzers is not None:
+                        obs_states[qname] = analyzers[qname].update(
+                            obs_states[qname], val)
+                    elif mode == "quantized" and encodings is not None \
+                            and qname in encodings:
+                        val = self._qdq(val, qname, encodings, learn_range)
+            outs.append(val)
         return jtu.tree_unflatten(self._out_tree, outs), obs_states, captured
 
     # ------------------------------------------------------------------
@@ -347,12 +418,18 @@ class QuantizationSimModel:
         """Floating-point forward through the interpreter (sanity path)."""
         return self._run(params, args, "fp")[0]
 
-    def compute_param_encodings(self, params):
+    def compute_param_encodings(self, params, only=None):
         """Compute parameter encodings directly from the weights
-        (StaticGridPerTensor/PerChannelQuantizer on params)."""
+        (StaticGridPerTensor/PerChannelQuantizer on params).
+
+        ``only``: optional iterable of param names to (re)compute — avoids
+        O(L^2) recomputation in per-layer sequential algorithms."""
         leaves = jtu.tree_leaves(params)
+        only = set(only) if only is not None else None
         for name, spec in self.quantizers.items():
             if spec.kind != "param" or name in self._frozen:
+                continue
+            if only is not None and name not in only:
                 continue
             idx = self.graph._param_leaf_index[name]
             w = jnp.asarray(leaves[idx])
@@ -646,6 +723,12 @@ class QuantizationSimModel:
         if spec is None:
             return
         self._encodings.pop(name, None)
-        for d in (self._act_var_q, self._param_var_q, self._input_var_q):
+        for d in (self._act_var_q, self._param_var_q, self._input_var_q,
+                  self._output_var_q):
             for k in [k for k, v in d.items() if v == name]:
                 del d[k]
+        for eqn_id in list(self._eqn_input_q):
+            self._eqn_input_q[eqn_id] = [
+                (p, n) for p, n in self._eqn_input_q[eqn_id] if n != name]
+            if not self._eqn_input_q[eqn_id]:
+                del self._eqn_input_q[eqn_id]

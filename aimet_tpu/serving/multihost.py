@@ -88,10 +88,14 @@ class ShardedQuantizedLLM:
         self.mode = mode
         self.max_len = max_len
         self.qw = shard_quantized_weights(qw, cfg, mesh)
+        # pallas kernels have no SPMD partitioning rule: force XLA paths so
+        # GSPMD keeps the tp-sharded weights sharded
         self._prefill = jax.jit(partial(quantized_forward, prefill=True,
-                                        mode=mode), static_argnames=("cfg",))
+                                        mode=mode, allow_pallas=False),
+                                static_argnames=("cfg",))
         self._decode = jax.jit(partial(quantized_forward, prefill=False,
-                                       mode=mode), static_argnames=("cfg",))
+                                       mode=mode, allow_pallas=False),
+                               static_argnames=("cfg",))
 
     def new_caches(self, batch: int):
         caches = [init_quantized_kv_cache(batch, self.max_len,

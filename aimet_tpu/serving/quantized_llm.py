@@ -46,11 +46,12 @@ def _use_pallas(m: int) -> bool:
     return jax.default_backend() == "tpu" and m >= PALLAS_MIN_M
 
 
-def _qmm(x2d, wq, scale, mode):
+def _qmm(x2d, wq, scale, mode, allow_pallas=True):
+    use = allow_pallas and _use_pallas(x2d.shape[0])
     if mode == "w8":
-        fn = matmul_w8 if _use_pallas(x2d.shape[0]) else matmul_w8_xla
+        fn = matmul_w8 if use else matmul_w8_xla
     else:
-        fn = matmul_w4 if _use_pallas(x2d.shape[0]) else matmul_w4_xla
+        fn = matmul_w4 if use else matmul_w4_xla
     return fn(x2d, wq, scale)
 
 
@@ -91,19 +92,19 @@ def _rms_norm(x, scale, eps):
     return (x * jax.lax.rsqrt(var + eps).astype(x.dtype)) * scale
 
 
-def _proj(x, wq_scale, mode):
+def _proj(x, wq_scale, mode, allow_pallas=True):
     """x (B, T, D) @ quantized weight -> (B, T, out)."""
     wq, scale = wq_scale
     b, t, d = x.shape
-    out = _qmm(x.reshape(b * t, d), wq, scale, mode)
+    out = _qmm(x.reshape(b * t, d), wq, scale, mode, allow_pallas)
     return out.reshape(b, t, -1)
 
 
 def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
-               cache_index, mode, prefill: bool):
+               cache_index, mode, prefill: bool, allow_pallas=True):
     B, T, _ = x.shape
     H, KH, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    qkv = _proj(x, layer["wqkv"], mode)
+    qkv = _proj(x, layer["wqkv"], mode, allow_pallas)
     q = qkv[..., :H * D].reshape(B, T, H, D)
     k = qkv[..., H * D:(H + KH) * D].reshape(B, T, KH, D)
     v = qkv[..., (H + KH) * D:].reshape(B, T, KH, D)
@@ -128,20 +129,25 @@ def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
         scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhts,bshd->bthd", probs, v_full).reshape(B, T, H * D)
-    return _proj(out, layer["wo"], mode), cache
+    return _proj(out, layer["wo"], mode, allow_pallas), cache
 
 
-def _mlp(cfg, layer, x, mode):
-    gu = _proj(x, layer["w_gateup"], mode)
+def _mlp(cfg, layer, x, mode, allow_pallas=True):
+    gu = _proj(x, layer["w_gateup"], mode, allow_pallas)
     gate = gu[..., :cfg.d_ff]
     up = gu[..., cfg.d_ff:]
-    return _proj(jax.nn.silu(gate) * up, layer["w_down"], mode)
+    return _proj(jax.nn.silu(gate) * up, layer["w_down"], mode, allow_pallas)
 
 
 def quantized_forward(qw, cfg: TransformerConfig, tokens,
                       caches: Optional[List[QuantizedKVCache]] = None,
-                      cache_index=0, prefill: bool = True, mode: str = "w8"):
-    """Returns (logits, new_caches)."""
+                      cache_index=0, prefill: bool = True, mode: str = "w8",
+                      allow_pallas: bool = True):
+    """Returns (logits, new_caches).
+
+    ``allow_pallas=False`` forces the XLA paths — required when running
+    under GSPMD over sharded weights (pallas_call has no SPMD partitioning
+    rule and would force an all-gather of the tp-sharded weights)."""
     B, T = tokens.shape
     x = jnp.take(qw["embed"], tokens, axis=0).astype(cfg.dtype)
 
@@ -172,13 +178,15 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
         layer = qw["layers"][i]
         cache = caches[i] if caches is not None else None
         h, cache = _attention(cfg, layer, _rms_norm(x, layer["attn_norm"], cfg.norm_eps),
-                              cos, sin, mask, cache, cache_index, mode, prefill)
+                              cos, sin, mask, cache, cache_index, mode, prefill,
+                              allow_pallas)
         x = x + h
-        x = x + _mlp(cfg, layer, _rms_norm(x, layer["mlp_norm"], cfg.norm_eps), mode)
+        x = x + _mlp(cfg, layer, _rms_norm(x, layer["mlp_norm"], cfg.norm_eps),
+                     mode, allow_pallas)
         new_caches.append(cache)
     x = _rms_norm(x, qw["final_norm"], cfg.norm_eps)
-    logits = _qmm(x.reshape(B * T, -1), *qw["lm_head"],
-                  mode=mode).reshape(B, T, -1).astype(jnp.float32)
+    logits = _qmm(x.reshape(B * T, -1), *qw["lm_head"], mode=mode,
+                  allow_pallas=allow_pallas).reshape(B, T, -1).astype(jnp.float32)
     return logits, (new_caches if caches is not None else None)
 
 

@@ -64,12 +64,21 @@ def weight_pad(sim: QuantizationSimModel, params,
                                   unsigned_symmetric=spec.unsigned_symmetric)
         updates[name] = w_q
 
-        # re-express the encoding on the target grid (recompute_encodings)
+        # re-express the encoding on the target grid (recompute_encodings).
+        # min/max MUST be re-derived from the new delta/offset: the quantized
+        # forward recomputes the grid from min/max, and only these values
+        # reproduce delta_t exactly (preserving the zero-padded low bits).
+        from ..quantization.affine import num_quant_steps
         shift = 2.0 ** (bw.target_kernel_bw - bw.simulated_bw)
+        delta_t = low_enc.delta / shift
+        offset_t = low_enc.offset * shift
+        ns_t = num_quant_steps(bw.target_kernel_bw,
+                               strict_symmetric=spec.symmetric and spec.strict_symmetric)
         target_enc = AffineEncoding(
-            min=low_enc.min, max=low_enc.max,
-            delta=low_enc.delta / shift,
-            offset=low_enc.offset * shift,
+            min=delta_t * offset_t,
+            max=delta_t * (offset_t + ns_t),
+            delta=delta_t,
+            offset=offset_t,
             bitwidth=bw.target_kernel_bw, symmetric=spec.symmetric,
             strict_symmetric=spec.strict_symmetric,
             unsigned_symmetric=spec.unsigned_symmetric)

@@ -257,3 +257,60 @@ class TestRequant:
         y_deq = (np.asarray(q_out) + out_off) * out_scale
         err = np.abs(y_deq - y_float).max()
         assert err <= out_scale * 1.5 + np.abs(y_float).max() * 0.02
+
+
+class TestInputOutputQuantizers:
+    def test_op_type_input_quantizer_placed_and_applied(self, rng):
+        from aimet_tpu.quantsim.config import OpTypeConfig, QuantSimConfig
+        cfg = QuantSimConfig.default()
+        cfg.op_type["linear"] = OpTypeConfig(is_input_quantized=True)
+        model = TinyMLP()
+        v, x = init_model(model, (4, 16))
+        fn = lambda v, x: model.apply(v, x)
+        sim = QuantizationSimModel(fn, (v, x), config=cfg, quant_scheme="minmax")
+        assert "linear_0_input" in sim.quantizers
+        sim.compute_encodings(v, iter([x]))
+        assert "linear_0_input" in sim.encodings
+        out = sim.quantized_fn(v, x)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_model_output_quantizer(self, rng):
+        from aimet_tpu.quantsim.config import QuantSimConfig
+        import flax.linen as nn
+
+        class NoFinalQuant(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                # mean output: its op type is never quantized by default
+                return jnp.mean(nn.Dense(8)(x), axis=-1)
+
+        cfg = QuantSimConfig.default()
+        cfg.model_output_quantized = True
+        model = NoFinalQuant()
+        v, x = init_model(model, (4, 16))
+        fn = lambda v, x: model.apply(v, x)
+        sim = QuantizationSimModel(fn, (v, x), config=cfg, quant_scheme="minmax")
+        assert any(n.startswith("model_output") for n in sim.quantizers)
+        sim.compute_encodings(v, iter([x]))
+        out = sim.quantized_fn(v, x)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestBatchedNativeSqnr:
+    def test_per_channel_sqnr_matches_per_row(self, rng):
+        from aimet_tpu import native
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        from aimet_tpu.quantization.encoding_analyzer import EncodingAnalyzer
+        a = EncodingAnalyzer("sqnr", channel_axis=0)
+        x = jnp.asarray((rng.randn(4, 20000) *
+                         np.float32([[1], [2], [4], [8]])).astype(np.float32))
+        st = a.update(a.init_state(x.shape), x)
+        enc = a.compute(st, 8, symmetric=True)
+        # compare against single-channel computation
+        for c in range(4):
+            a1 = EncodingAnalyzer("sqnr")
+            st1 = a1.update(a1.init_state(), x[c])
+            e1 = a1.compute(st1, 8, symmetric=True)
+            np.testing.assert_allclose(float(enc.delta[c]), float(e1.delta),
+                                       rtol=1e-6)
