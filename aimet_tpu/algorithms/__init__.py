@@ -11,3 +11,4 @@ from .arch_checker import ArchChecker, ModelValidator
 from .gptq import GPTVQParameters, apply_gptq, apply_gptvq
 from .peft import LoraConfig, PeftQuantUtils, init_lora_params, lora_apply_fn
 from .bias_correction import correct_bias_analytical
+from .auto_quant import AutoQuantWithAutoMixedPrecision

@@ -122,3 +122,36 @@ class AutoQuant:
         name, acc, params, sim = best
         return AutoQuantResult(best_stage=name, accuracy=acc, params=params,
                                sim=sim, history=history)
+
+
+class AutoQuantWithAutoMixedPrecision(AutoQuant):
+    """AutoQuant + AMP final stage (v1/auto_quant.py:1497): after the PTQ
+    pipeline, raise the weakest quantizer groups to the higher-precision
+    candidates until the accuracy target is met."""
+
+    def __init__(self, *args, amp_candidates=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        from .amp import Candidate
+        self.amp_candidates = amp_candidates or [
+            Candidate(16, 16), Candidate(self.output_bw, self.param_bw)]
+
+    def optimize(self, allowed_accuracy_drop: float = 0.0,
+                 fp32_accuracy: Optional[float] = None) -> AutoQuantResult:
+        result = super().optimize(allowed_accuracy_drop, fp32_accuracy)
+        fp32 = result.history[0].accuracy
+        if result.accuracy >= fp32 - allowed_accuracy_drop:
+            return result
+        # Stage 4: AMP (greedy flips from the high-precision baseline)
+        from .amp import choose_mixed_precision
+        sim, params = result.sim, result.params
+
+        def eval_fn(forward):
+            return self.eval_fn(forward)
+
+        amp = choose_mixed_precision(sim, params, self.amp_candidates,
+                                     eval_fn, allowed_accuracy_drop)
+        acc = amp.final_accuracy
+        result.history.append(StageResult("amp", acc, True))
+        if acc > result.accuracy:
+            return AutoQuantResult("amp", acc, params, sim, result.history)
+        return result

@@ -154,3 +154,32 @@ class TestLlmServingAcceptance:
         out = llm.generate(tokens, 8)
         assert out.shape == (2, 20)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestCompressionAcceptance:
+    def test_spatial_svd_50pct_mac(self, rng):
+        """BASELINE rows 7-8 in miniature: greedy spatial-SVD to ~50% MAC
+        keeps the model usable (bounded output degradation)."""
+        from aimet_tpu.compression.compressor import ModelCompressor
+        from aimet_tpu.models.resnet import ResNet18
+
+        model = ResNet18(num_classes=10, num_filters=8)
+        x = jnp.ones((2, 32, 32, 3))
+        v = model.init(jax.random.PRNGKey(0), x)
+        fn = lambda p, x: model.apply(p, x)
+        xb = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+        ref = model.apply(v, xb)
+
+        def eval_fn(m):
+            out = m(v, xb)
+            return -float(jnp.mean((out - ref) ** 2))
+
+        compressed, stats = ModelCompressor.compress_model(
+            fn, (v, x), v, "spatial_svd", eval_fn=eval_fn,
+            target_comp_ratio=0.5, num_candidates=4)
+        assert stats.mac_compression_ratio <= 0.75
+        out = compressed(v, xb)
+        # top-1 agreement mostly retained at mild compression
+        agree = np.mean(np.asarray(jnp.argmax(ref, -1) == jnp.argmax(out, -1)))
+        assert agree >= 0.5
+        assert np.isfinite(np.asarray(out)).all()

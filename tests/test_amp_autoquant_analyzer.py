@@ -119,3 +119,30 @@ class TestAutoQuant:
         result = aq.optimize(allowed_accuracy_drop=1.0)
         assert result.best_stage == "quantsim"
         assert [s.name for s in result.history] == ["fp32", "quantsim"]
+
+
+class TestAutoQuantWithAmp:
+    def test_amp_stage_runs_when_target_unmet(self, rng):
+        from aimet_tpu.algorithms.auto_quant import AutoQuantWithAutoMixedPrecision
+        from aimet_tpu.algorithms.adaround import AdaroundParameters
+        from aimet_tpu.algorithms.amp import Candidate
+        model = TinyMLP(features=16)
+        v, x = init_model(model, (8, 16))
+        fn = lambda p, x: model.apply(p, x)
+        batches = [jnp.asarray(rng.randn(8, 16).astype(np.float32))
+                   for _ in range(2)]
+        ref = model.apply(v, batches[0])
+
+        def eval_fn(forward):
+            return -float(jnp.mean((forward(batches[0]) - ref) ** 2))
+
+        aq = AutoQuantWithAutoMixedPrecision(
+            fn, (v, x), v, batches, eval_fn, quant_scheme="minmax",
+            default_param_bw=4, default_output_bw=4,
+            adaround_params=AdaroundParameters(num_batches=2, num_iterations=40),
+            amp_candidates=[Candidate(16, 16), Candidate(4, 4)])
+        result = aq.optimize(allowed_accuracy_drop=1e-6)
+        stages = [s.name for s in result.history]
+        assert "amp" in stages
+        # amp stage starts from 16-bit baseline: accuracy should be best
+        assert result.accuracy >= max(s.accuracy for s in result.history[1:-1])
