@@ -18,3 +18,4 @@ from .kv_cache import (
     prefill_kv,
 )
 from .requant import get_scale_factor, requant_scale_and_bias, requantize
+from .int_matmul import matmul_w4_grouped, matmul_w4_grouped_xla, quantize_weight_int4_grouped

@@ -74,6 +74,38 @@ def quantize_weight_int4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return packed, scale.astype(jnp.float32)
 
 
+def quantize_weight_int4_grouped(w: jax.Array, group_size: int = 128
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """Group-wise symmetric INT4 (AWQ/LPBQ-style): one scale per
+    (K-group, out-channel). w (K, N) -> (packed (K//2, N) split-half int8,
+    scales (K//group_size, N) float32). group_size must divide K/2's halves
+    (i.e. K % (2*group_size) == 0) so groups never straddle the two nibble
+    planes."""
+    K, N = w.shape
+    assert K % (2 * group_size) == 0, (K, group_size)
+    g = K // group_size
+    wg = w.reshape(g, group_size, N)
+    amax = jnp.max(jnp.abs(wg), axis=1)                  # (g, N)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    q = q.reshape(K, N).astype(jnp.int32)
+    lo = q[: K // 2] & 0xF
+    hi = (q[K // 2:] & 0xF) << 4
+    return (lo | hi).astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def matmul_w4_grouped_xla(x, w_packed, scales, group_size: int = 128,
+                          out_dtype=None):
+    out_dtype = out_dtype or x.dtype
+    K = x.shape[1]
+    w_q = unpack_int4(w_packed).astype(jnp.float32)      # (K, N)
+    g = K // group_size
+    w_deq = (w_q.reshape(g, group_size, -1)
+             * scales[:, None, :]).reshape(K, -1)
+    return jnp.dot(x, w_deq.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+
+
 def quantize_activation_per_row(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Dynamic symmetric per-row INT8: x (M, K) -> (x_int8, scale (M,))."""
     amax = jnp.max(jnp.abs(x), axis=1)
@@ -262,6 +294,88 @@ def _w4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, out_ref, acc_ref, *, nk):
     @pl.when(k == nk - 1)
     def _():
         out_ref[:] = (acc_ref[:] * s_ref[:]).astype(out_ref.dtype)
+
+
+def _w4g_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, out_ref, acc_ref,
+                *, nk, group_size):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[:].astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(jnp.float32)
+    hi = ((p << 24) >> 28).astype(jnp.float32)
+    bk, bn = lo.shape
+    ng = bk // group_size
+    # expand (ng, bn) group scales to (bk, bn) rows
+    slo = jnp.broadcast_to(slo_ref[:][:, None, :], (ng, group_size, bn)
+                           ).reshape(bk, bn)
+    shi = jnp.broadcast_to(shi_ref[:][:, None, :], (ng, group_size, bn)
+                           ).reshape(bk, bn)
+    lo_d = (lo * slo).astype(xlo_ref.dtype)
+    hi_d = (hi * shi).astype(xlo_ref.dtype)
+    acc_ref[:] += jnp.dot(xlo_ref[:], lo_d, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(xhi_ref[:], hi_d, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_m",
+                                             "block_n", "block_k", "out_dtype"))
+def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
+                      block_n=256, block_k=1024, out_dtype=None):
+    """Group-wise INT4 fused dequant-matmul (split-half packing).
+
+    scales (K/group_size, N); the dequant (scale applied per K-group before
+    the dot) happens in VMEM. block_k is in packed rows and must be a
+    multiple of group_size."""
+    out_dtype = out_dtype or x.dtype
+    M, K = x.shape
+    N = w_packed.shape[1]
+    K2 = w_packed.shape[0]
+    g_per_half = K2 // group_size
+    block_m = min(block_m, max(8, M))
+    block_k = min(block_k, K2)
+    assert block_k % group_size == 0
+
+    x, m0 = _pad_to(x, block_m, 0)
+    x_lo = x[:, :K2]
+    x_hi = x[:, K2:]
+    s_lo = scales[:g_per_half]
+    s_hi = scales[g_per_half:]
+    Mp = x_lo.shape[0]
+    nk = K2 // block_k
+    gb = block_k // group_size
+
+    out = pl.pallas_call(
+        functools.partial(_w4g_kernel, nk=nk, group_size=group_size),
+        grid=(Mp // block_m, N // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K, bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x_lo, x_hi, w_packed, s_lo, s_hi)
+    return out[:m0]
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",

@@ -93,3 +93,35 @@ class TestKernelsVsXla:
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(matmul_w8_xla(x, wq, s)),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestGroupedInt4:
+    def test_grouped_quant_beats_per_channel(self, rng):
+        # weights with along-K scale drift: group scales adapt
+        w = jnp.asarray((rng.randn(256, 128) *
+                         np.logspace(-1, 1, 256)[:, None]).astype(np.float32))
+        from aimet_tpu.ops.int_matmul import (
+            matmul_w4_grouped_xla, quantize_weight_int4,
+            quantize_weight_int4_grouped, unpack_int4, matmul_w4_xla)
+        x = jnp.asarray(rng.randn(8, 256).astype(np.float32))
+        fp = x @ w
+        pc_p, pc_s = quantize_weight_int4(w)
+        e_pc = float(jnp.mean(jnp.abs(matmul_w4_xla(x, pc_p, pc_s) - fp)))
+        g_p, g_s = quantize_weight_int4_grouped(w, group_size=32)
+        assert g_s.shape == (8, 128)
+        e_g = float(jnp.mean(jnp.abs(
+            matmul_w4_grouped_xla(x, g_p, g_s, 32) - fp)))
+        assert e_g < e_pc * 0.7
+
+    def test_grouped_kernel_matches_xla(self, rng):
+        from aimet_tpu.ops.int_matmul import (
+            matmul_w4_grouped, matmul_w4_grouped_xla,
+            quantize_weight_int4_grouped)
+        w = jnp.asarray((rng.randn(256, 256) * 0.1).astype(np.float32))
+        x = jnp.asarray(rng.randn(16, 256).astype(np.float32))
+        g_p, g_s = quantize_weight_int4_grouped(w, group_size=32)
+        ref = matmul_w4_grouped_xla(x, g_p, g_s, 32)
+        out = matmul_w4_grouped(x, g_p, g_s, group_size=32, block_m=8,
+                                block_n=128, block_k=64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
