@@ -130,6 +130,157 @@ class GreedyMixedPrecision:
         return AmpResult(assignment, pareto, baseline, acc, phase1)
 
 
+@dataclasses.dataclass
+class ConvertOpResult:
+    assignment: Dict[str, Candidate]
+    converts_before: int
+    converts_after: int
+    cost_ratio: float          # final bit cost / max-precision bit cost
+
+
+def _count_convert_ops(sim: QuantizationSimModel,
+                       act_bw: Dict[str, int]) -> int:
+    """Count producer->consumer edges whose activation precisions differ.
+
+    On target HW every such boundary is a dtype-convert op
+    (amp/convert_ops_reduction.py ReduceConvertOps). Ops without an
+    activation quantizer inherit their producer's precision
+    (pass-through)."""
+    resolved: Dict[str, int] = {}
+
+    def bw_of(op) -> int:
+        if op.name in resolved:
+            return resolved[op.name]
+        resolved[op.name] = -1          # cycle guard
+        if op.name in act_bw:
+            resolved[op.name] = act_bw[op.name]
+        else:
+            prods = op.input_ops
+            resolved[op.name] = bw_of(prods[0]) if prods else -1
+        return resolved[op.name]
+
+    converts = 0
+    for op in sim.graph.ops:
+        b = bw_of(op)
+        for prod in op.input_ops:
+            pb = bw_of(prod)
+            if pb != -1 and b != -1 and pb != b:
+                converts += 1
+    return converts
+
+
+def reduce_convert_ops(sim: QuantizationSimModel, result: AmpResult,
+                       candidates: Sequence[Candidate],
+                       alpha: float = 0.2) -> ConvertOpResult:
+    """Post-AMP pass reducing dtype-convert ops at precision boundaries
+    (aimet_common/amp/convert_ops_reduction.py).
+
+    Greedily promotes lower-precision quantizer groups to their
+    higher-precision neighbor's candidate when that strictly reduces the
+    convert-op count, as long as the total bit cost stays within
+    ``(1 + alpha) x`` the post-AMP cost. Promotion moves toward the
+    baseline precision, so accuracy can only improve — no re-eval needed.
+    Applies the final assignment to ``sim`` and returns it.
+    """
+    groups = {g.name: g for g in find_quantizer_groups(sim)}
+    assignment = dict(result.group_bitwidths)
+    by_act = {c.act_bw: c for c in candidates}
+
+    def act_bw_map():
+        return {n: c.act_bw for n, c in assignment.items()
+                if groups[n].act_quantizers}
+
+    ops_by_name = {op.name: op for op in sim.graph.ops}
+    before = _count_convert_ops(sim, act_bw_map())
+    base_cost = sum(groups[n].bit_cost(c) for n, c in assignment.items())
+    max_cost = base_cost * (1.0 + alpha)
+
+    def quantized_neighbors(bw):
+        """Undirected adjacency between act-quantized ops, walking THROUGH
+        pass-through ops (supergroup members without their own output
+        quantizer inherit precision, so they don't break contiguity)."""
+        adj = {n: set() for n in bw}
+        for name in bw:
+            stack = list(ops_by_name[name].input_ops) \
+                if name in ops_by_name else []
+            visited = set()
+            while stack:
+                o = stack.pop()
+                if o.name in visited:
+                    continue
+                visited.add(o.name)
+                if o.name in bw:
+                    adj[name].add(o.name)
+                    adj[o.name].add(name)
+                else:
+                    stack.extend(o.input_ops)
+        return adj
+
+    def regions(bw, adj):
+        """Connected components of same-act-bw ops.
+        The reference also reasons about contiguous same-precision spans
+        rather than single ops (convert_ops_reduction.py)."""
+        seen, comps = set(), []
+        for name in bw:
+            if name in seen:
+                continue
+            comp, stack = [], [name]
+            seen.add(name)
+            while stack:
+                n = stack.pop()
+                comp.append(n)
+                for o in adj[n]:
+                    if o not in seen and bw[o] == bw[n]:
+                        seen.add(o)
+                        stack.append(o)
+            comps.append(comp)
+        return comps
+
+    while True:
+        bw = act_bw_map()
+        cur = _count_convert_ops(sim, bw)
+        if cur == 0:
+            break
+        best = None   # (new_converts, cost, region, cand)
+        adj = quantized_neighbors(bw)
+        for comp in regions(bw, adj):
+            b = bw[comp[0]]
+            neigh_bws = set()
+            for n in comp:
+                neigh_bws |= {bw[o] for o in adj[n]}
+            for nb in sorted(x for x in neigh_bws if x > b):
+                new_cand = by_act.get(nb)
+                if new_cand is None:
+                    continue
+                trial = dict(assignment)
+                for n in comp:
+                    trial[n] = new_cand
+                trial_bw = {n: c.act_bw for n, c in trial.items()
+                            if groups[n].act_quantizers}
+                n_conv = _count_convert_ops(sim, trial_bw)
+                cost = sum(groups[n].bit_cost(c) for n, c in trial.items())
+                if n_conv < cur and cost <= max_cost:
+                    key = (n_conv, cost)
+                    if best is None or key < best[:2]:
+                        best = (n_conv, cost, comp, new_cand)
+        if best is None:
+            break
+        for n in best[2]:
+            assignment[n] = best[3]
+
+    for name, cand in assignment.items():
+        g = groups[name]
+        for n in g.act_quantizers:
+            sim.set_bitwidth(n, cand.act_bw)
+        for n in g.param_quantizers:
+            sim.set_bitwidth(n, cand.param_bw)
+    final_cost = sum(groups[n].bit_cost(c) for n, c in assignment.items())
+    max_prec_cost = sum(g.bit_cost(candidates[0]) for g in groups.values())
+    return ConvertOpResult(assignment, before,
+                           _count_convert_ops(sim, act_bw_map()),
+                           final_cost / max_prec_cost)
+
+
 def choose_mixed_precision(sim: QuantizationSimModel, params,
                            candidates: Sequence[Candidate],
                            eval_fn: Callable, allowed_accuracy_drop: float

@@ -146,3 +146,39 @@ class TestAutoQuantWithAmp:
         assert "amp" in stages
         # amp stage starts from 16-bit baseline: accuracy should be best
         assert result.accuracy >= max(s.accuracy for s in result.history[1:-1])
+
+
+class TestConvertOpReduction:
+    def test_reduce_convert_ops(self, setup):
+        from aimet_tpu.algorithms.amp import (
+            ConvertOpResult, reduce_convert_ops)
+        _, _, sim, v, batches, eval_fn, ref = setup
+        cands = [Candidate(16, 8), Candidate(8, 8)]
+        result = choose_mixed_precision(sim, v, cands, eval_fn,
+                                        allowed_accuracy_drop=10.0)
+        # huge budget -> everything flips to act_bw=8; force a mixed
+        # boundary by pinning one group back at 16 bits
+        mixed = dict(result.group_bitwidths)
+        some = next(n for n, c in mixed.items()
+                    if any(g.name == n and g.act_quantizers
+                           for g in find_quantizer_groups(sim)))
+        mixed[some] = Candidate(16, 8)
+        result.group_bitwidths = mixed
+        out = reduce_convert_ops(sim, result, cands, alpha=1.0)
+        assert isinstance(out, ConvertOpResult)
+        # reduction never increases convert-op count
+        assert out.converts_after <= out.converts_before
+        assert 0.0 < out.cost_ratio <= 2.0
+        # with a generous alpha the graph should end boundary-free
+        assert out.converts_after == 0
+
+    def test_zero_boundaries_noop(self, setup):
+        from aimet_tpu.algorithms.amp import reduce_convert_ops
+        _, _, sim, v, batches, eval_fn, ref = setup
+        cands = [Candidate(8, 8), Candidate(8, 4)]
+        result = choose_mixed_precision(sim, v, cands, eval_fn,
+                                        allowed_accuracy_drop=1e-3)
+        # act bw uniform (8) in both candidates -> no convert ops at all
+        out = reduce_convert_ops(sim, result, cands)
+        assert out.converts_before == 0 and out.converts_after == 0
+        assert out.assignment == result.group_bitwidths
