@@ -171,13 +171,15 @@ def _w8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, nk):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w8(x, w_q, w_scale, *, block_m=512, block_n=512, block_k=1024,
+def matmul_w8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=1024,
               out_dtype=None):
-    """x (M, K) float/bf16 @ w_q (K, N) int8 * w_scale (N,) -> (M, N)."""
+    """x (M, K) float/bf16 @ w_q (K, N) int8 * w_scale (N,) -> (M, N).
+    Default blocks tuned on v5e at M=1024, K=N=4096 (157 TF/s)."""
     out_dtype = out_dtype or x.dtype
     M, K = x.shape
     _, N = w_q.shape
     block_m = min(block_m, max(8, M))
+    block_k = min(block_k, -(-K // 256) * 256)
     x, m0 = _pad_to(x, block_m, 0)
     x, _ = _pad_to(x, block_k, 1)
     w_q, _ = _pad_to(w_q, block_k, 0)
@@ -207,6 +209,8 @@ def matmul_w8(x, w_q, w_scale, *, block_m=512, block_n=512, block_k=1024,
             flops=2 * Mp * Np * Kp,
             bytes_accessed=Mp * Kp * x.dtype.itemsize + Kp * Np + Mp * Np * 2,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(x, w_q, w_scale2)
     return out[:m0, :N]
@@ -231,14 +235,16 @@ def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, nk):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w8a8(x, w_q, w_scale, *, block_m=512, block_n=256, block_k=1024,
+def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=512,
                 out_dtype=None):
-    """Full-int8 path: dynamic per-row activation quant + int8 MXU matmul."""
+    """Full-int8 path: dynamic per-row activation quant + int8 MXU matmul.
+    Default blocks tuned on v5e at M=1024, K=N=4096 (256 TF/s)."""
     out_dtype = out_dtype or x.dtype
     M, K = x.shape
     _, N = w_q.shape
     x_q, x_scale = quantize_activation_per_row(x)
     block_m = min(block_m, max(32, M))
+    block_k = min(block_k, -(-K // 256) * 256)
 
     x_q, m0 = _pad_to(x_q, block_m, 0)
     x_q, _ = _pad_to(x_q, block_k, 1)
@@ -273,6 +279,8 @@ def matmul_w8a8(x, w_q, w_scale, *, block_m=512, block_n=256, block_k=1024,
             flops=2 * Mp * Np * Kp,
             bytes_accessed=Mp * Kp + Kp * Np + Mp * Np * 2,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(x_q, w_q, sx, sw)
     return out[:m0, :N]
@@ -373,6 +381,8 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K, bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(x_lo, x_hi, w_packed, s_lo, s_hi)
     return out[:m0]
@@ -380,16 +390,18 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w4(x, w_packed, w_scale, *, block_m=512, block_n=256, block_k=1024,
+def matmul_w4(x, w_packed, w_scale, *, block_m=1024, block_n=256, block_k=2048,
               out_dtype=None):
     """Weight-only INT4 (split-half packing): the two K-halves of x feed two
     MXU dots against the sign-extended nibbles — no in-kernel interleave.
-    ``block_k`` is in packed rows (covers 2*block_k of K)."""
+    ``block_k`` is in packed rows (covers 2*block_k of K).
+    Default blocks tuned on v5e at M=1024, K=N=4096 (191 TF/s)."""
     out_dtype = out_dtype or x.dtype
     M, K = x.shape
     N = w_packed.shape[1]
     K2 = w_packed.shape[0]
     block_m = min(block_m, max(8, M))
+    block_k = min(block_k, -(-K2 // 256) * 256)
 
     x, m0 = _pad_to(x, block_m, 0)
     x_lo = x[:, :K2]
@@ -426,6 +438,8 @@ def matmul_w4(x, w_packed, w_scale, *, block_m=512, block_n=256, block_k=1024,
             flops=2 * Mp * Np * Kp2 * 2,
             bytes_accessed=Mp * Kp2 * 2 * x.dtype.itemsize + Kp2 * Np + Mp * Np * 2,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(x_lo, x_hi, w_packed, sw)
     return out[:m0, :N]
