@@ -19,3 +19,10 @@ from .kv_cache import (
 )
 from .requant import get_scale_factor, requant_scale_and_bias, requantize
 from .int_matmul import matmul_w4_grouped, matmul_w4_grouped_xla, quantize_weight_int4_grouped
+from .int_conv import (
+    conv2d_w4,
+    conv2d_w8,
+    conv2d_w8a8,
+    quantize_conv_weight_int4,
+    quantize_conv_weight_per_channel,
+)

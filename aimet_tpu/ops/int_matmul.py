@@ -279,8 +279,11 @@ def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=512,
             flops=2 * Mp * Np * Kp,
             bytes_accessed=Mp * Kp + Kp * Np + Mp * Np * 2,
             transcendentals=0),
+        # fuse the dynamic per-row activation quant (and its pad) into the
+        # kernel's input DMA instead of materializing x_q in HBM
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            allow_input_fusion=[True, False, True, False]),
         interpret=_interpret(),
     )(x_q, w_q, sx, sw)
     return out[:m0, :N]
