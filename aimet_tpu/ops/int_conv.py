@@ -50,22 +50,24 @@ def quantize_conv_weight_int4(w: jax.Array):
 
 
 def _patches(x: jax.Array, filter_shape: Tuple[int, int],
-             strides: Tuple[int, int], padding: Padding) -> jax.Array:
+             strides: Tuple[int, int], padding: Padding,
+             rhs_dilation=None) -> jax.Array:
     """(B, H, W, C) -> (B, Ho, Wo, C*kh*kw) patch matrix (feature order
-    (C, kh, kw))."""
+    (C, kh, kw)). rhs_dilation = atrous rate (DeepLab-style convs)."""
     return lax.conv_general_dilated_patches(
         x, filter_shape=filter_shape, window_strides=strides,
-        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        padding=padding, rhs_dilation=rhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def conv2d_w8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
               filter_shape: Tuple[int, int], *, strides=(1, 1),
-              padding: Padding = "SAME", use_pallas: bool = True,
-              out_dtype=None) -> jax.Array:
+              padding: Padding = "SAME", rhs_dilation=None,
+              use_pallas: bool = True, out_dtype=None) -> jax.Array:
     """Weight-only INT8 conv: x (B,H,W,C) float/bf16, w_q from
     quantize_conv_weight_per_channel. Returns (B, Ho, Wo, co)."""
     out_dtype = out_dtype or x.dtype
-    p = _patches(x, filter_shape, strides, padding)
+    p = _patches(x, filter_shape, strides, padding, rhs_dilation)
     B, Ho, Wo, F = p.shape
     mm = matmul_w8 if use_pallas else matmul_w8_xla
     out = mm(p.reshape(B * Ho * Wo, F), w_q, w_scale, out_dtype=out_dtype)
@@ -74,12 +76,12 @@ def conv2d_w8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
 
 def conv2d_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
                 filter_shape: Tuple[int, int], *, strides=(1, 1),
-                padding: Padding = "SAME", use_pallas: bool = True,
-                out_dtype=None) -> jax.Array:
+                padding: Padding = "SAME", rhs_dilation=None,
+                use_pallas: bool = True, out_dtype=None) -> jax.Array:
     """Full-INT8 conv: per-patch (per output pixel) dynamic activation
     quant + int8 MXU matmul, scales applied in the epilogue."""
     out_dtype = out_dtype or x.dtype
-    p = _patches(x, filter_shape, strides, padding)
+    p = _patches(x, filter_shape, strides, padding, rhs_dilation)
     B, Ho, Wo, F = p.shape
     mm = matmul_w8a8 if use_pallas else matmul_w8a8_xla
     out = mm(p.reshape(B * Ho * Wo, F), w_q, w_scale, out_dtype=out_dtype)
@@ -88,11 +90,11 @@ def conv2d_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
 
 def conv2d_w4(x: jax.Array, w_packed: jax.Array, w_scale: jax.Array,
               filter_shape: Tuple[int, int], *, strides=(1, 1),
-              padding: Padding = "SAME", use_pallas: bool = True,
-              out_dtype=None) -> jax.Array:
+              padding: Padding = "SAME", rhs_dilation=None,
+              use_pallas: bool = True, out_dtype=None) -> jax.Array:
     """Weight-only packed-INT4 conv (split-half nibble layout)."""
     out_dtype = out_dtype or x.dtype
-    p = _patches(x, filter_shape, strides, padding)
+    p = _patches(x, filter_shape, strides, padding, rhs_dilation)
     B, Ho, Wo, F = p.shape
     mm = matmul_w4 if use_pallas else matmul_w4_xla
     out = mm(p.reshape(B * Ho * Wo, F), w_packed, w_scale,

@@ -1,0 +1,192 @@
+"""Lower a calibrated quantsim to true INT8/INT4 execution.
+
+The reference stops at simulation + encodings export (the INT execution
+happens on the Qualcomm target); here the TPU *is* the target, so the
+calibrated encodings lower directly onto the fused dequant-matmul/conv
+Pallas kernels (ops/int_matmul.py, ops/int_conv.py):
+
+    sim.compute_encodings(params, data)
+    lowered = lower_to_int(sim, params, mode="w8")   # or "w4"
+    y = lowered(params, x)                           # INT weights resident
+
+Every `linear` / `conv` op whose kernel has a **symmetric** encoding (the
+default param config) is replaced by an int kernel with weights quantized
+once through that frozen encoding — NOT re-quantized dynamically, so the
+lowered model is faithful to what the quantsim simulated. Ops that can't
+lower (asymmetric weights, depthwise/grouped conv, exotic dimension
+numbers) stay on the float path; activations between ops stay float
+(weight-only execution, the standard serving deployment).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import tree_util as jtu
+
+from ..graph.connected_graph import ConnectedGraph, Op
+from ..graph.interpreter import evaluate_with_replacements
+from ..ops.int_conv import conv2d_w4, conv2d_w8
+from ..ops.int_matmul import matmul_w4, matmul_w8
+from ..quantization.affine import AffineEncoding, quantize_to_int
+
+
+@dataclasses.dataclass
+class LoweredModel:
+    graph: ConnectedGraph
+    replacements: Dict[str, Callable]
+    out_tree: Any
+    lowered_ops: List[str]
+    skipped_ops: List[str]
+
+    def __call__(self, params, *args):
+        return evaluate_with_replacements(
+            self.graph, params, args, self.replacements, self.out_tree)
+
+
+def _weight_int_and_scale(w, enc: AffineEncoding, channel_axis, bits: int,
+                          n_out: int):
+    """Frozen-encoding symmetric quantization -> (int codes, scale (n_out,))."""
+    q = quantize_to_int(w, enc, channel_axis=channel_axis, signed=True,
+                        dtype=jnp.int32)
+    lim = 2 ** (bits - 1) - 1
+    q = jnp.clip(q, -lim, lim)          # drop the single -2^(b-1) code
+    scale = jnp.asarray(enc.delta, jnp.float32).reshape(-1)
+    if scale.shape[0] == 1:             # per-tensor -> broadcast per channel
+        scale = jnp.broadcast_to(scale, (n_out,))
+    return q, scale
+
+
+def _pack_int4_split_half(q_2d):
+    """(K, N) int codes in [-7, 7] -> split-half packed (K//2, N) int8
+    (same layout as ops.int_matmul.quantize_weight_int4)."""
+    K = q_2d.shape[0]
+    lo = q_2d[: K // 2] & 0xF
+    hi = (q_2d[K // 2:] & 0xF) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas):
+    dn = op.attrs["dimension_numbers"]
+    ((lc, rc), (lb, rb)) = dn
+    ndim = len(op.attrs["lhs_shape"] or ())
+    if (tuple(rc), tuple(lb), tuple(rb)) != ((0,), (), ()) or \
+            tuple(lc) != (ndim - 1,) or w.ndim != 2:
+        return None
+    if ch_axis not in (1, None):
+        return None                     # per-in-channel scales don't fold
+    bits = 4 if mode == "w4" else 8
+    q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, w.shape[1])
+    if mode == "w4":
+        if q.shape[0] % 2:
+            return None
+        wq = _pack_int4_split_half(q)
+        mm = lambda x2d: matmul_w4(x2d, wq, scale, out_dtype=jnp.float32)
+    else:
+        wq = q.astype(jnp.int8)
+        mm = lambda x2d: matmul_w8(x2d, wq, scale, out_dtype=jnp.float32)
+    N = w.shape[1]
+
+    def replacement(x):
+        lead = x.shape[:-1]
+        out = mm(x.reshape(-1, x.shape[-1]))
+        out = out.reshape(*lead, N).astype(x.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
+
+    return replacement
+
+
+def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas):
+    eqn = op.eqns[0]
+    p = eqn.params
+    if p.get("feature_group_count", 1) != 1 or w.ndim != 4:
+        return None
+    dn = p["dimension_numbers"]
+    # require NHWC / HWIO / NHWC (the flax default)
+    if (tuple(dn.lhs_spec), tuple(dn.rhs_spec), tuple(dn.out_spec)) != \
+            ((0, 3, 1, 2), (3, 2, 0, 1), (0, 3, 1, 2)):
+        return None
+    if tuple(p.get("lhs_dilation", (1, 1))) != (1, 1):
+        return None
+    if ch_axis not in (3, None):
+        return None
+    kh, kw, ci, co = w.shape
+    bits = 4 if mode == "w4" else 8
+    q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, co)
+    q2d = jnp.transpose(q, (2, 0, 1, 3)).reshape(ci * kh * kw, co)
+    strides = tuple(p["window_strides"])
+    padding = [tuple(pp) for pp in p["padding"]]
+    dilation = tuple(p.get("rhs_dilation", (1, 1)))
+    if mode == "w4":
+        if q2d.shape[0] % 2:
+            return None
+        wq = _pack_int4_split_half(q2d)
+        conv = lambda x: conv2d_w4(
+            x, wq, scale, (kh, kw), strides=strides, padding=padding,
+            rhs_dilation=dilation, use_pallas=use_pallas,
+            out_dtype=jnp.float32)
+    else:
+        wq = q2d.astype(jnp.int8)
+        conv = lambda x: conv2d_w8(
+            x, wq, scale, (kh, kw), strides=strides, padding=padding,
+            rhs_dilation=dilation, use_pallas=use_pallas,
+            out_dtype=jnp.float32)
+
+    def replacement(x):
+        out = conv(x).astype(x.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
+
+    return replacement
+
+
+def lower_to_int(sim, params, mode: str = "w8",
+                 use_pallas: Optional[bool] = None) -> LoweredModel:
+    """Build a true-INT executable from a calibrated QuantizationSimModel.
+
+    mode: "w8" (INT8 weight-only) or "w4" (packed INT4 weight-only; the
+    sim's param bitwidth should be 4 for faithful grids).
+    """
+    assert mode in ("w8", "w4"), mode
+    if not sim._encodings:
+        raise RuntimeError("call compute_encodings first")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    graph = sim.graph
+    leaves = jtu.tree_leaves(params)
+    out_tree = sim._out_tree
+
+    replacements: Dict[str, Callable] = {}
+    lowered, skipped = [], []
+    for op in graph.ops:
+        if op.type not in ("linear", "conv"):
+            continue
+        kp = op.param_products.get("kernel")
+        if kp is None or kp.param_path not in sim._encodings:
+            skipped.append(op.name)
+            continue
+        spec = sim.quantizers[kp.param_path]
+        enc = sim._encodings[kp.param_path]
+        if not spec.symmetric:
+            skipped.append(op.name)
+            continue
+        w = leaves[graph._param_leaf_index[kp.param_path]]
+        bias = None
+        bp = op.param_products.get("bias")
+        if bp is not None:
+            bias = leaves[graph._param_leaf_index[bp.param_path]]
+        fn = (_lower_linear if op.type == "linear" else _lower_conv)(
+            op, w, bias, enc, spec.channel_axis, mode, use_pallas)
+        if fn is None:
+            skipped.append(op.name)
+            continue
+        replacements[op.name] = fn
+        lowered.append(op.name)
+
+    return LoweredModel(graph, replacements, out_tree, lowered, skipped)

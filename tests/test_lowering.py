@@ -1,0 +1,115 @@
+"""quantsim -> true-INT lowering (quantsim/lowering.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimet_tpu.quantsim.lowering import lower_to_int
+from aimet_tpu.quantsim.qsim import QuantizationSimModel
+
+
+def _mlp(params, x):
+    h = jax.nn.relu(x @ params["w1"] + params["b1"])
+    return h @ params["w2"] + params["b2"]
+
+
+@pytest.fixture
+def mlp(rng):
+    params = {"w1": jnp.asarray(rng.randn(16, 32).astype(np.float32) * 0.3),
+              "b1": jnp.asarray(rng.randn(32).astype(np.float32) * 0.1),
+              "w2": jnp.asarray(rng.randn(32, 10).astype(np.float32) * 0.3),
+              "b2": jnp.asarray(rng.randn(10).astype(np.float32) * 0.1)}
+    x = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    batches = [jnp.asarray(rng.randn(8, 16).astype(np.float32))
+               for _ in range(2)]
+    return params, x, batches
+
+
+class TestLinearLowering:
+    def test_w8_matches_dequant_reference(self, mlp):
+        params, x, batches = mlp
+        sim = QuantizationSimModel(_mlp, (params, x), quant_scheme="minmax",
+                                   default_param_bw=8, default_output_bw=8)
+        sim.compute_encodings(params, iter(batches))
+        lowered = lower_to_int(sim, params, mode="w8")
+        assert set(lowered.lowered_ops) == {"linear_0", "linear_1"}
+
+        # exact reference: run the FP model with frozen-encoding qdq weights
+        from aimet_tpu.quantization.affine import quantize_to_int
+        ref_params = dict(params)
+        for name, key in (("w1", "['w1']"), ("w2", "['w2']")):
+            enc = sim._encodings[key]
+            spec = sim.quantizers[key]
+            q = quantize_to_int(params[name], enc,
+                                channel_axis=spec.channel_axis, signed=True,
+                                dtype=jnp.int32)
+            q = jnp.clip(q, -127, 127)
+            delta = jnp.reshape(jnp.asarray(enc.delta), (1, -1))
+            ref_params[name] = q.astype(jnp.float32) * delta
+        ref = _mlp(ref_params, x)
+        out = lowered(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_w4_runs_and_close(self, mlp):
+        params, x, batches = mlp
+        sim = QuantizationSimModel(_mlp, (params, x), quant_scheme="minmax",
+                                   default_param_bw=4, default_output_bw=8)
+        sim.compute_encodings(params, iter(batches))
+        lowered = lower_to_int(sim, params, mode="w4")
+        assert len(lowered.lowered_ops) == 2
+        ref = _mlp(params, x)
+        out = lowered(params, x)
+        rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert rel < 0.05          # INT4 weight-only error
+
+    def test_jittable(self, mlp):
+        params, x, batches = mlp
+        sim = QuantizationSimModel(_mlp, (params, x), quant_scheme="minmax")
+        sim.compute_encodings(params, iter(batches))
+        lowered = lower_to_int(sim, params)
+        out = jax.jit(lambda p, x: lowered(p, x))(params, x)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestConvLowering:
+    def test_w8_conv_with_dilation(self, rng):
+        w = jnp.asarray((rng.randn(3, 3, 4, 8) * 0.2).astype(np.float32))
+        b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+
+        def fn(params, x):
+            y = jax.lax.conv_general_dilated(
+                x, params["w"], window_strides=(1, 1), padding="SAME",
+                rhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + params["b"]
+
+        params = {"w": w, "b": b}
+        x = jnp.asarray(rng.randn(2, 10, 10, 4).astype(np.float32))
+        sim = QuantizationSimModel(fn, (params, x), quant_scheme="minmax",
+                                   default_param_bw=8)
+        sim.compute_encodings(params, iter([x]))
+        lowered = lower_to_int(sim, params, mode="w8")
+        assert lowered.lowered_ops == ["conv_0"]
+        ref = fn(params, x)
+        out = lowered(params, x)
+        rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert out.shape == ref.shape
+        assert rel < 1e-3          # per-channel INT8 weight error only
+
+    def test_depthwise_skipped(self, rng):
+        from aimet_tpu.models.mobilenet_v2 import MobileNetV2
+
+        model = MobileNetV2(num_classes=10, width_mult=0.25)
+        x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), x)
+        fn = lambda p, x: model.apply(p, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+        sim.compute_encodings(v, iter([x]))
+        lowered = lower_to_int(sim, v)
+        # pointwise/full convs lower, depthwise stay float
+        assert len(lowered.lowered_ops) > 5
+        out = lowered(v, x)
+        ref = fn(v, x)
+        rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert rel < 1e-2
