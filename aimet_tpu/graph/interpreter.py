@@ -52,7 +52,12 @@ def evaluate_with_replacements(
         if id(eqn) in skip_eqns:
             if id(eqn) in emit_at:
                 op, fn = emit_at[id(eqn)]
-                x = read(op.inputs[0].var)
+                # the op's first eqn's lhs is the ACTUAL input value — the
+                # Product var may resolve through passthrough aliases
+                # (e.g. a reshape before a dense) to an earlier tensor
+                x_var = op.eqns[0].invars[0]
+                x = (read(x_var) if isinstance(x_var, Literal)
+                     or id(x_var) in env else read(op.inputs[0].var))
                 env[id(op.output.var)] = fn(x)
             continue
         outs = _eval_eqn(eqn, [read(v) for v in eqn.invars])

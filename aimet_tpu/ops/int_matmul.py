@@ -239,10 +239,22 @@ def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=512,
                 out_dtype=None):
     """Full-int8 path: dynamic per-row activation quant + int8 MXU matmul.
     Default blocks tuned on v5e at M=1024, K=N=4096 (256 TF/s)."""
-    out_dtype = out_dtype or x.dtype
-    M, K = x.shape
-    _, N = w_q.shape
     x_q, x_scale = quantize_activation_per_row(x)
+    return matmul_q8(x_q, x_scale, w_q, w_scale, block_m=block_m,
+                     block_n=block_n, block_k=block_k,
+                     out_dtype=out_dtype or x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "out_dtype"))
+def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=1024, block_n=512,
+              block_k=512, out_dtype=jnp.float32):
+    """int8 x int8 -> int32 MXU matmul with per-row x per-channel scale
+    epilogue. ``x_q`` already int8 (dynamic path quantizes first; the
+    static-encoding lowering path quantizes with frozen calibration
+    scales — quantsim/lowering.py mode='w8a8')."""
+    M, K = x_q.shape
+    _, N = w_q.shape
     block_m = min(block_m, max(32, M))
     block_k = min(block_k, -(-K // 256) * 256)
 

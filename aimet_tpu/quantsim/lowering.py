@@ -29,8 +29,8 @@ from jax import tree_util as jtu
 
 from ..graph.connected_graph import ConnectedGraph, Op
 from ..graph.interpreter import evaluate_with_replacements
-from ..ops.int_conv import conv2d_w4, conv2d_w8
-from ..ops.int_matmul import matmul_w4, matmul_w8
+from ..ops.int_conv import _patches, conv2d_w4, conv2d_w8
+from ..ops.int_matmul import matmul_q8, matmul_w4, matmul_w8
 from ..quantization.affine import AffineEncoding, quantize_to_int
 
 
@@ -69,7 +69,50 @@ def _pack_int4_split_half(q_2d):
     return (lo | hi).astype(jnp.int8)
 
 
-def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas):
+def _input_act_encoding(sim, op: Op):
+    """(encoding, spec) of the op's data-input activation quantizer, or
+    (None, None). Activation encodings are keyed by producer op name, or
+    ``model_input_<i>`` for graph inputs."""
+    prod = op.inputs[0]
+    if prod.producer is not None:
+        key = prod.producer.name
+    else:
+        ids = [id(v) for v in sim.graph.input_vars]
+        if id(prod.var) not in ids:
+            return None, None
+        key = f"model_input_{ids.index(id(prod.var))}"
+    return sim._encodings.get(key), sim.quantizers.get(key)
+
+
+def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale):
+    """Full static INT8 matmul closure: quantize x with the FROZEN input
+    encoding (q = round(x/dx) - off on the [0, steps] grid), shift to
+    signed int8, int8 MXU matmul, then scale + zero-point-correct:
+
+        x = (q + off)*dx = (x_i8 + 128 + off)*dx
+        y = dx*sw*(x_i8 @ wq) + dx*sw*(128 + off)*colsum(wq)
+
+    This is the HW requant pipeline (ops/requant.py semantics) executed
+    on the TPU MXU."""
+    dx = jnp.asarray(enc_in.delta, jnp.float32).reshape(())
+    off = jnp.asarray(enc_in.offset, jnp.float32).reshape(())
+    steps = float(enc_in.num_steps)
+    colsum = wq_i8.astype(jnp.float32).sum(axis=0)            # (N,)
+    cvec = (128.0 + off) * colsum * dx * w_scale              # (N,)
+
+    def mm(x2d):
+        q = jnp.clip(jnp.round(x2d / dx - off), 0.0, steps)
+        x_i8 = (q - 128.0).astype(jnp.int8)
+        rows = jnp.full((x2d.shape[0],), dx, jnp.float32)
+        acc = matmul_q8(x_i8, rows, wq_i8, w_scale,
+                        out_dtype=jnp.float32)
+        return acc + cvec[None, :]
+
+    return mm
+
+
+def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
+                  act_enc=None):
     dn = op.attrs["dimension_numbers"]
     ((lc, rc), (lb, rb)) = dn
     ndim = len(op.attrs["lhs_shape"] or ())
@@ -85,6 +128,8 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas):
             return None
         wq = _pack_int4_split_half(q)
         mm = lambda x2d: matmul_w4(x2d, wq, scale, out_dtype=jnp.float32)
+    elif mode == "w8a8" and act_enc is not None:
+        mm = _make_static_q8_mm(act_enc, q.astype(jnp.int8), scale)
     else:
         wq = q.astype(jnp.int8)
         mm = lambda x2d: matmul_w8(x2d, wq, scale, out_dtype=jnp.float32)
@@ -101,7 +146,8 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas):
     return replacement
 
 
-def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas):
+def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
+                act_enc=None):
     eqn = op.eqns[0]
     p = eqn.params
     if p.get("feature_group_count", 1) != 1 or w.ndim != 4:
@@ -130,6 +176,13 @@ def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas):
             x, wq, scale, (kh, kw), strides=strides, padding=padding,
             rhs_dilation=dilation, use_pallas=use_pallas,
             out_dtype=jnp.float32)
+    elif mode == "w8a8" and act_enc is not None:
+        mm = _make_static_q8_mm(act_enc, q2d.astype(jnp.int8), scale)
+
+        def conv(x):
+            p2 = _patches(x, (kh, kw), strides, padding, dilation)
+            B, Ho, Wo, F = p2.shape
+            return mm(p2.reshape(B * Ho * Wo, F)).reshape(B, Ho, Wo, -1)
     else:
         wq = q2d.astype(jnp.int8)
         conv = lambda x: conv2d_w8(
@@ -150,10 +203,14 @@ def lower_to_int(sim, params, mode: str = "w8",
                  use_pallas: Optional[bool] = None) -> LoweredModel:
     """Build a true-INT executable from a calibrated QuantizationSimModel.
 
-    mode: "w8" (INT8 weight-only) or "w4" (packed INT4 weight-only; the
-    sim's param bitwidth should be 4 for faithful grids).
+    mode: "w8" (INT8 weight-only), "w4" (packed INT4 weight-only; the
+    sim's param bitwidth should be 4 for faithful grids), or "w8a8"
+    (full static INT8: activations quantized with their frozen
+    calibration encodings, zero-point corrected int8 MXU matmul; falls
+    back to weight-only per-op when no per-tensor 8-bit input encoding
+    is available).
     """
-    assert mode in ("w8", "w4"), mode
+    assert mode in ("w8", "w4", "w8a8"), mode
     if not sim._encodings:
         raise RuntimeError("call compute_encodings first")
     if use_pallas is None:
@@ -181,8 +238,16 @@ def lower_to_int(sim, params, mode: str = "w8",
         bp = op.param_products.get("bias")
         if bp is not None:
             bias = leaves[graph._param_leaf_index[bp.param_path]]
+        act_enc = None
+        if mode == "w8a8":
+            a_enc, a_spec = _input_act_encoding(sim, op)
+            if (a_enc is not None and a_spec is not None
+                    and a_spec.bitwidth == 8
+                    and jnp.ndim(jnp.asarray(a_enc.delta)) == 0):
+                act_enc = a_enc
         fn = (_lower_linear if op.type == "linear" else _lower_conv)(
-            op, w, bias, enc, spec.channel_axis, mode, use_pallas)
+            op, w, bias, enc, spec.channel_axis, mode, use_pallas,
+            act_enc=act_enc)
         if fn is None:
             skipped.append(op.name)
             continue

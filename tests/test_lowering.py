@@ -113,3 +113,54 @@ class TestConvLowering:
         ref = fn(v, x)
         rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
         assert rel < 1e-2
+
+
+class TestStaticW8A8Lowering:
+    def test_w8a8_matches_quantsim_input_grid(self, mlp):
+        params, x, batches = mlp
+        sim = QuantizationSimModel(_mlp, (params, x), quant_scheme="minmax",
+                                   default_param_bw=8, default_output_bw=8)
+        sim.compute_encodings(params, iter(batches))
+        lowered = lower_to_int(sim, params, mode="w8a8")
+        assert set(lowered.lowered_ops) == {"linear_0", "linear_1"}
+
+        # reference: emulate the static pipeline in float — qdq input with
+        # its frozen encoding, qdq weights, then matmul
+        from aimet_tpu.quantization.affine import (
+            quantize_dequantize_encoding, quantize_to_int)
+
+        def staticsim(params, x):
+            out = x
+            for wk, bk, act_key in (("w1", "b1", "model_input_0"),
+                                    ("w2", "b2", "relu_0")):
+                a_enc = sim._encodings[act_key]
+                out = quantize_dequantize_encoding(out, a_enc)
+                enc = sim._encodings[f"['{wk}']"]
+                spec = sim.quantizers[f"['{wk}']"]
+                q = jnp.clip(quantize_to_int(
+                    params[wk], enc, channel_axis=spec.channel_axis,
+                    signed=True, dtype=jnp.int32), -127, 127)
+                delta = jnp.reshape(jnp.asarray(enc.delta), (1, -1))
+                out = out @ (q.astype(jnp.float32) * delta) + params[bk]
+                if wk == "w1":
+                    out = jax.nn.relu(out)
+            return out
+
+        ref = staticsim(params, x)
+        out = lowered(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4)
+
+    def test_w8a8_conv_runs(self, rng):
+        from aimet_tpu.models.cnn import TinyCNN, init_model
+        model = TinyCNN()
+        v, x = init_model(model, (2, 8, 8, 3))
+        fn = lambda p, x: model.apply(p, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+        sim.compute_encodings(v, iter([x]))
+        lowered = lower_to_int(sim, v, mode="w8a8")
+        assert len(lowered.lowered_ops) >= 2
+        out = lowered(v, x)
+        ref = fn(v, x)
+        rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert out.shape == ref.shape and rel < 0.05
