@@ -184,7 +184,16 @@ def reduce_convert_ops(sim: QuantizationSimModel, result: AmpResult,
     """
     groups = {g.name: g for g in find_quantizer_groups(sim)}
     assignment = dict(result.group_bitwidths)
-    by_act = {c.act_bw: c for c in candidates}
+
+    def promote_candidate(cur: Candidate, act_bw: int) -> Optional[Candidate]:
+        """Candidate at the target act precision WITHOUT demoting params:
+        prefer the same param_bw as currently assigned, else the smallest
+        param_bw that is still >= current."""
+        pool = [c for c in candidates
+                if c.act_bw == act_bw and c.param_bw >= cur.param_bw]
+        if not pool:
+            return None
+        return min(pool, key=lambda c: c.param_bw)
 
     def act_bw_map():
         return {n: c.act_bw for n, c in assignment.items()
@@ -241,7 +250,7 @@ def reduce_convert_ops(sim: QuantizationSimModel, result: AmpResult,
         cur = _count_convert_ops(sim, bw)
         if cur == 0:
             break
-        best = None   # (new_converts, cost, region, cand)
+        best = None   # (new_converts, cost, trial assignment)
         adj = quantized_neighbors(bw)
         for comp in regions(bw, adj):
             b = bw[comp[0]]
@@ -249,12 +258,16 @@ def reduce_convert_ops(sim: QuantizationSimModel, result: AmpResult,
             for n in comp:
                 neigh_bws |= {bw[o] for o in adj[n]}
             for nb in sorted(x for x in neigh_bws if x > b):
-                new_cand = by_act.get(nb)
-                if new_cand is None:
-                    continue
                 trial = dict(assignment)
+                promotable = True
                 for n in comp:
+                    new_cand = promote_candidate(assignment[n], nb)
+                    if new_cand is None:
+                        promotable = False
+                        break
                     trial[n] = new_cand
+                if not promotable:
+                    continue
                 trial_bw = {n: c.act_bw for n, c in trial.items()
                             if groups[n].act_quantizers}
                 n_conv = _count_convert_ops(sim, trial_bw)
@@ -262,11 +275,10 @@ def reduce_convert_ops(sim: QuantizationSimModel, result: AmpResult,
                 if n_conv < cur and cost <= max_cost:
                     key = (n_conv, cost)
                     if best is None or key < best[:2]:
-                        best = (n_conv, cost, comp, new_cand)
+                        best = (n_conv, cost, trial)
         if best is None:
             break
-        for n in best[2]:
-            assignment[n] = best[3]
+        assignment = best[2]
 
     for name, cand in assignment.items():
         g = groups[name]

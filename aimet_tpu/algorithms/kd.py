@@ -87,7 +87,7 @@ class KDTrainState(NamedTuple):
     opt_state: Any
 
 
-def make_qat_kd_step(sim, teacher_apply: Callable, teacher_params,
+def make_qat_kd_step(sim, teacher_apply: Callable,
                      optimizer: optax.GradientTransformation,
                      cfg: KDConfig = KDConfig()
                      ) -> Tuple[KDTrainState, Callable]:

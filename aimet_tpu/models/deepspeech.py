@@ -30,7 +30,8 @@ def init_deepspeech2(key, n_mels: int = 80, conv_channels: int = 32,
     """Parameter pytree. Conv kernels are NHWC flax-layout (kh, kw, ci, co);
     LSTM params are quantsim/recurrent.py layout."""
     keys = jax.random.split(key, 2 + 2 * num_layers + 1)
-    freq_out = n_mels // 4    # two stride-2 convs over the freq axis
+    # two SAME-padded stride-2 convs over the freq axis: ceil(ceil(F/2)/2)
+    freq_out = -(-(-(-n_mels // 2)) // 2)
     params = {
         "conv1": {"kernel": jax.random.normal(
             keys[0], (11, 11, 1, conv_channels)) * 0.05,

@@ -180,6 +180,7 @@ def matmul_w8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=1024,
     _, N = w_q.shape
     block_m = min(block_m, max(8, M))
     block_k = min(block_k, -(-K // 256) * 256)
+    block_n = min(block_n, -(-N // 128) * 128)
     x, m0 = _pad_to(x, block_m, 0)
     x, _ = _pad_to(x, block_k, 1)
     w_q, _ = _pad_to(w_q, block_k, 0)
@@ -257,6 +258,7 @@ def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=1024, block_n=512,
     _, N = w_q.shape
     block_m = min(block_m, max(32, M))
     block_k = min(block_k, -(-K // 256) * 256)
+    block_n = min(block_n, -(-N // 128) * 128)
 
     x_q, m0 = _pad_to(x_q, block_m, 0)
     x_q, _ = _pad_to(x_q, block_k, 1)
@@ -417,6 +419,7 @@ def matmul_w4(x, w_packed, w_scale, *, block_m=1024, block_n=256, block_k=2048,
     K2 = w_packed.shape[0]
     block_m = min(block_m, max(8, M))
     block_k = min(block_k, -(-K2 // 256) * 256)
+    block_n = min(block_n, -(-N // 128) * 128)
 
     x, m0 = _pad_to(x, block_m, 0)
     x_lo = x[:, :K2]

@@ -68,6 +68,16 @@ def multihost_mesh(tp: Optional[int] = None,
     dp = dp or n // tp
     if dp * tp != n:
         raise ValueError(f"dp*tp={dp*tp} != {n} devices")
+    if jax.process_count() > 1 and tp == jax.local_device_count():
+        # topology-aware layout: mesh_utils knows the ICI wiring (twisted
+        # tori, multi-slice), the raw jax.devices() order may not
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (1, tp), (dp, 1), devices=devs)
+            return Mesh(arr, ("dp", "tp"))
+        except Exception:
+            pass    # CPU multiprocess test runtimes lack topology info
     arr = np.array(devs).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 

@@ -30,7 +30,8 @@ from jax import tree_util as jtu
 from ..graph.connected_graph import ConnectedGraph, Op
 from ..graph.interpreter import evaluate_with_replacements
 from ..ops.int_conv import _patches, conv2d_w4, conv2d_w8
-from ..ops.int_matmul import matmul_q8, matmul_w4, matmul_w8
+from ..ops.int_matmul import (matmul_q8, matmul_w4, matmul_w4_xla,
+                              matmul_w8, matmul_w8_xla)
 from ..quantization.affine import AffineEncoding, quantize_to_int
 
 
@@ -84,7 +85,8 @@ def _input_act_encoding(sim, op: Op):
     return sim._encodings.get(key), sim.quantizers.get(key)
 
 
-def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale):
+def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale,
+                       use_pallas: bool = True):
     """Full static INT8 matmul closure: quantize x with the FROZEN input
     encoding (q = round(x/dx) - off on the [0, steps] grid), shift to
     signed int8, int8 MXU matmul, then scale + zero-point-correct:
@@ -103,9 +105,15 @@ def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale):
     def mm(x2d):
         q = jnp.clip(jnp.round(x2d / dx - off), 0.0, steps)
         x_i8 = (q - 128.0).astype(jnp.int8)
-        rows = jnp.full((x2d.shape[0],), dx, jnp.float32)
-        acc = matmul_q8(x_i8, rows, wq_i8, w_scale,
-                        out_dtype=jnp.float32)
+        if use_pallas:
+            rows = jnp.full((x2d.shape[0],), dx, jnp.float32)
+            acc = matmul_q8(x_i8, rows, wq_i8, w_scale,
+                            out_dtype=jnp.float32)
+        else:
+            acc_i = jax.lax.dot_general(
+                x_i8, wq_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = acc_i.astype(jnp.float32) * dx * w_scale[None, :]
         return acc + cvec[None, :]
 
     return mm
@@ -122,17 +130,22 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
     if ch_axis not in (1, None):
         return None                     # per-in-channel scales don't fold
     bits = 4 if mode == "w4" else 8
+    if enc.bitwidth > bits:
+        return None     # e.g. 8-bit encodings can't pack into int4 nibbles
     q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, w.shape[1])
     if mode == "w4":
         if q.shape[0] % 2:
             return None
         wq = _pack_int4_split_half(q)
-        mm = lambda x2d: matmul_w4(x2d, wq, scale, out_dtype=jnp.float32)
+        mm4 = matmul_w4 if use_pallas else matmul_w4_xla
+        mm = lambda x2d: mm4(x2d, wq, scale, out_dtype=jnp.float32)
     elif mode == "w8a8" and act_enc is not None:
-        mm = _make_static_q8_mm(act_enc, q.astype(jnp.int8), scale)
+        mm = _make_static_q8_mm(act_enc, q.astype(jnp.int8), scale,
+                                use_pallas=use_pallas)
     else:
         wq = q.astype(jnp.int8)
-        mm = lambda x2d: matmul_w8(x2d, wq, scale, out_dtype=jnp.float32)
+        mm8 = matmul_w8 if use_pallas else matmul_w8_xla
+        mm = lambda x2d: mm8(x2d, wq, scale, out_dtype=jnp.float32)
     N = w.shape[1]
 
     def replacement(x):
@@ -163,6 +176,8 @@ def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
         return None
     kh, kw, ci, co = w.shape
     bits = 4 if mode == "w4" else 8
+    if enc.bitwidth > bits:
+        return None
     q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, co)
     q2d = jnp.transpose(q, (2, 0, 1, 3)).reshape(ci * kh * kw, co)
     strides = tuple(p["window_strides"])
@@ -177,7 +192,8 @@ def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
             rhs_dilation=dilation, use_pallas=use_pallas,
             out_dtype=jnp.float32)
     elif mode == "w8a8" and act_enc is not None:
-        mm = _make_static_q8_mm(act_enc, q2d.astype(jnp.int8), scale)
+        mm = _make_static_q8_mm(act_enc, q2d.astype(jnp.int8), scale,
+                                use_pallas=use_pallas)
 
         def conv(x):
             p2 = _patches(x, (kh, kw), strides, padding, dilation)

@@ -49,7 +49,7 @@ def main():
 
     opt = optax.adamw(1e-4)
     kcfg = KDConfig(temperature=2.0, alpha=0.5, enc_lr=1e-5)
-    state0, step = make_qat_kd_step(sim, apply_fn, teacher_params, opt, kcfg)
+    state0, step = make_qat_kd_step(sim, apply_fn, opt, kcfg)
     state = init_kd_state(state0, teacher_params, opt)
 
     p_sh = shard_params(teacher_params, mesh)

@@ -80,8 +80,7 @@ class TestQATKDStep:
         cfg, teacher_apply, sim, variables = self._build()
         opt = optax.adam(3e-3)
         kcfg = KDConfig(temperature=2.0, alpha=0.5, enc_lr=1e-4)
-        state0, step = make_qat_kd_step(sim, teacher_apply, variables, opt,
-                                        kcfg)
+        state0, step = make_qat_kd_step(sim, teacher_apply, opt, kcfg)
         state = init_kd_state(state0, variables, opt)
         enc_before = jax.tree_util.tree_leaves(state.enc)
 

@@ -164,3 +164,15 @@ class TestStaticW8A8Lowering:
         ref = fn(v, x)
         rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
         assert out.shape == ref.shape and rel < 0.05
+
+
+def test_w4_mode_skips_8bit_encodings(mlp):
+    """8-bit param encodings cannot pack into int4 nibbles — ops must be
+    skipped, not silently saturated (code-review regression)."""
+    params, x, batches = mlp
+    sim = QuantizationSimModel(_mlp, (params, x), quant_scheme="minmax",
+                               default_param_bw=8)
+    sim.compute_encodings(params, iter(batches))
+    lowered = lower_to_int(sim, params, mode="w4")
+    assert lowered.lowered_ops == []
+    assert len(lowered.skipped_ops) == 2

@@ -78,3 +78,15 @@ class TestDeepSpeech2:
         # INT8 per-timestep quantization tracks FP (recurrent-QAT family,
         # README.md:176-196: WER delta +0.3 at INT8)
         assert _sqnr_db(ref, q) > 15.0
+
+
+def test_deepspeech_odd_mels(rng):
+    """n_mels not divisible by 4 must still produce matching LSTM widths
+    (SAME-padded stride-2 convs give ceil(ceil(F/2)/2) bins)."""
+    params = init_deepspeech2(jax.random.PRNGKey(1), n_mels=30,
+                              conv_channels=4, hidden=8, num_layers=1,
+                              vocab=5)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 12, 30),
+                    jnp.float32)
+    out = deepspeech2_apply(params, x)
+    assert out.shape == (1, 6, 5)
