@@ -670,6 +670,43 @@ class QuantizationSimModel:
         with open(f"{path}/{prefix}.encodings", "w") as f:
             json.dump(self.export_encodings(), f, indent=2, sort_keys=True)
 
+    def export_safetensors(self, path: str, prefix: str, params,
+                           quantized: bool = False) -> str:
+        """Write model weights as a .safetensors file keyed by param path
+        (reference parity: v1/quantsim.py:660 safetensors weight export).
+
+        quantized=True additionally stores, for every param with a
+        symmetric encoding, the true INT codes (``<path>.int``) and the
+        per-channel scale (``<path>.scale``) alongside the float weights —
+        the serving-deployment artifact.
+        """
+        from safetensors.numpy import save_file
+
+        from ..quantization.affine import quantize_to_int
+
+        flat = jtu.tree_leaves_with_path(params)
+        tensors = {}
+        for kp, leaf in flat:
+            key = jtu.keystr(kp)
+            tensors[key] = np.asarray(leaf)
+            if not quantized or key not in self._encodings:
+                continue
+            spec = self.quantizers.get(key)
+            if spec is None or not spec.symmetric:
+                continue
+            enc = self._encodings[key]
+            q = quantize_to_int(jnp.asarray(leaf), enc,
+                                channel_axis=spec.channel_axis,
+                                signed=True, dtype=jnp.int32)
+            lim = 2 ** (spec.bitwidth - 1) - 1
+            tensors[key + ".int"] = np.asarray(
+                jnp.clip(q, -lim, lim), np.int8)
+            tensors[key + ".scale"] = np.asarray(
+                jnp.reshape(jnp.asarray(enc.delta), (-1,)), np.float32)
+        out = f"{path}/{prefix}.safetensors"
+        save_file(tensors, out)
+        return out
+
     def export_stablehlo(self, path: str, prefix: str, params, *example_inputs):
         """Lower the quantized forward to StableHLO text — the TPU-native
         analogue of the reference's ONNX export (OnnxSaver,

@@ -192,8 +192,14 @@ class RecurrentQuantizer:
         return self.encodings
 
     # -- quantized forward -------------------------------------------------
-    def quantized_forward(self, params, x_seq):
-        """x_seq (B, T, I) -> (outputs (B, T, H), (h, c))."""
+    def quantized_forward(self, params, x_seq, seq_lengths=None):
+        """x_seq (B, T, I) -> (outputs (B, T, H), (h, c)).
+
+        ``seq_lengths`` (B,) int enables packed-sequence semantics
+        (reference: qc_quantize_recurrent.py:105 PackedSequence support):
+        steps at or beyond a sequence's length freeze its (h, c) carry and
+        zero its outputs, so the returned final state is the state at each
+        sequence's true end."""
         if not self.encodings:
             raise RuntimeError("call compute_encodings first")
         enc = self.encodings
@@ -204,17 +210,27 @@ class RecurrentQuantizer:
         h = jnp.zeros((B, H), x_seq.dtype)
         c = jnp.zeros((B, H), x_seq.dtype)
 
-        def step(carry, x_t):
+        def step(carry, xs):
             h, c = carry
+            x_t, t = xs
+            h_prev, c_prev = h, c
             if self.cell_type == "lstm":
                 h, c = lstm_step(qparams, x_t, h, c)
                 c = self._qdq_act(c, "cell", enc)
             else:
                 h = gru_step(qparams, x_t, h)
             h = self._qdq_act(h, "hidden", enc)
-            return (h, c), h
+            if seq_lengths is not None:
+                valid = (t < seq_lengths)[:, None]
+                h = jnp.where(valid, h, h_prev)
+                c = jnp.where(valid, c, c_prev)
+                out_t = jnp.where(valid, h, 0.0)
+            else:
+                out_t = h
+            return (h, c), out_t
 
-        (h, c), out = jax.lax.scan(step, (h, c), jnp.swapaxes(x_q, 0, 1))
+        (h, c), out = jax.lax.scan(
+            step, (h, c), (jnp.swapaxes(x_q, 0, 1), jnp.arange(T)))
         return jnp.swapaxes(out, 0, 1), (h, c)
 
     def fp_forward(self, params, x_seq):

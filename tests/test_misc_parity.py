@@ -314,3 +314,31 @@ class TestBatchedNativeSqnr:
             e1 = a1.compute(st1, 8, symmetric=True)
             np.testing.assert_allclose(float(enc.delta[c]), float(e1.delta),
                                        rtol=1e-6)
+
+
+def test_export_safetensors(tmp_path, rng):
+    """Weight export parity (v1/quantsim.py:660 safetensors)."""
+    import jax
+    from safetensors.numpy import load_file
+    from aimet_tpu.quantsim.qsim import QuantizationSimModel
+
+    def fn(p, x):
+        return jax.nn.relu(x @ p["w"]) @ p["v"]
+
+    p = {"w": jnp.asarray(rng.randn(8, 16).astype(np.float32)),
+         "v": jnp.asarray(rng.randn(16, 4).astype(np.float32))}
+    x = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    sim = QuantizationSimModel(fn, (p, x), quant_scheme="minmax")
+    sim.compute_encodings(p, iter([x]))
+    out = sim.export_safetensors(str(tmp_path), "model", p, quantized=True)
+    loaded = load_file(out)
+    assert "['w']" in loaded and "['v']" in loaded
+    np.testing.assert_array_equal(loaded["['w']"], np.asarray(p["w"]))
+    # quantized artifacts present with correct shapes/dtypes
+    assert loaded["['w'].int"].dtype == np.int8
+    assert loaded["['w'].int"].shape == (8, 16)
+    assert loaded["['w'].scale"].ndim == 1
+    # int * scale reconstructs the weights within one step
+    scale = loaded["['w'].scale"]
+    recon = loaded["['w'].int"].astype(np.float32) * scale[None, :]
+    assert np.max(np.abs(recon - np.asarray(p["w"]))) < float(scale.max())

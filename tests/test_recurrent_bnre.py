@@ -127,3 +127,32 @@ class TestRecurrentQat:
         for _ in range(60):
             p, state, l = step(p, state)
         assert float(l) < l0 * 0.7  # STE gradients train through the scan
+
+
+def test_packed_sequence_lengths(rng):
+    """Packed-sequence semantics (qc_quantize_recurrent.py:105): carries
+    freeze at each sequence's end, outputs beyond the end are zero."""
+    from aimet_tpu.quantsim.recurrent import (
+        RecurrentQuantizer, init_lstm_params)
+
+    params = init_lstm_params(jax.random.PRNGKey(0), 6, 10)
+    rq = RecurrentQuantizer("lstm")
+    xs = [jnp.asarray(rng.randn(3, 7, 6).astype(np.float32))]
+    rq.compute_encodings(params, xs)
+
+    x = jnp.asarray(rng.randn(3, 7, 6).astype(np.float32))
+    lengths = jnp.asarray([7, 4, 2])
+    out, (h, c) = rq.quantized_forward(params, x, seq_lengths=lengths)
+    out_full, (h_full, _) = rq.quantized_forward(params, x)
+
+    # outputs beyond each length are exactly zero
+    assert float(jnp.abs(out[1, 4:]).max()) == 0.0
+    assert float(jnp.abs(out[2, 2:]).max()) == 0.0
+    # valid prefix matches the unmasked run
+    np.testing.assert_allclose(np.asarray(out[1, :4]),
+                               np.asarray(out_full[1, :4]), rtol=1e-5)
+    # final state equals the state at the true end of each sequence
+    np.testing.assert_allclose(np.asarray(h[2]),
+                               np.asarray(out_full[2, 1]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h[0]),
+                               np.asarray(out_full[0, -1]), rtol=1e-5)
