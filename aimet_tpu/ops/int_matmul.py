@@ -144,9 +144,17 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def matmul_w4_xla(x, w_packed, w_scale, out_dtype=None):
+    """Split-half two-dot form with int8-native nibble extraction (no
+    int32 widening, no concat) — measurably faster than unpack_int4 +
+    one dot at decode batch sizes."""
     out_dtype = out_dtype or x.dtype
-    w_q = unpack_int4(w_packed)
-    acc = jnp.dot(x, w_q.astype(x.dtype), preferred_element_type=jnp.float32)
+    K2 = w_packed.shape[0]
+    lo = jnp.right_shift(jnp.left_shift(w_packed, 4), 4)
+    hi = jnp.right_shift(w_packed, 4)
+    acc = (jnp.dot(x[:, :K2], lo.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+           + jnp.dot(x[:, K2:], hi.astype(x.dtype),
+                     preferred_element_type=jnp.float32))
     return (acc * w_scale[None, :]).astype(out_dtype)
 
 

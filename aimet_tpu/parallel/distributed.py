@@ -47,7 +47,12 @@ def initialize(coordinator_address: Optional[str] = None,
             else os.environ["JAX_PROCESS_ID"])
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except ValueError:
+        if ca:
+            raise       # explicit coordinator args were wrong — surface it
+        return          # no coordinator auto-detectable: single-process run
     initialize._done = True
 
 

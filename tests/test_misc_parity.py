@@ -342,3 +342,28 @@ def test_export_safetensors(tmp_path, rng):
     scale = loaded["['w'].scale"]
     recon = loaded["['w'].int"].astype(np.float32) * scale[None, :]
     assert np.max(np.abs(recon - np.asarray(p["w"]))) < float(scale.max())
+
+
+def test_legacy_main_quantizer(rng):
+    """Caffe-era whole-network facade (MainQuantizationClass.cpp parity)."""
+    import jax
+    from aimet_tpu.quantsim.legacy import MainQuantizer
+
+    def fn(p, x):
+        return jax.nn.relu(x @ p["w"]) @ p["v"]
+
+    p = {"w": jnp.asarray(rng.randn(8, 16).astype(np.float32)),
+         "v": jnp.asarray(rng.randn(16, 4).astype(np.float32))}
+    x = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+
+    q = MainQuantizer(fn, (p, x), quant_mode="tf_enhanced")
+    encs = q.quantize_net(p, iter([x, x]), bw=8)
+    assert all(set(e) == {"min", "max", "delta", "offset", "bitwidth"}
+               for e in encs.values())
+    assert any(k.startswith("relu") for k in encs)
+    out = q.forward(p, x)
+    assert out.shape == (4, 4)
+    # unknown mode rejected like QuantizerFactory
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        MainQuantizer(fn, (p, x), quant_mode="bogus")
