@@ -119,6 +119,49 @@ def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale,
     return mm
 
 
+def _lower_linear_grouped_int4(op: Op, w, bias, enc, spec, use_pallas):
+    """Blockwise/LPBQ 4-bit linear -> group-wise fused dequant kernel
+    (ops/int_matmul.matmul_w4_grouped, one scale per (K-group, channel))."""
+    from ..ops.int_matmul import matmul_w4_grouped, matmul_w4_grouped_xla
+    from ..quantization.blockwise import _to_blocks
+
+    dn = op.attrs["dimension_numbers"]
+    ((lc, rc), (lb, rb)) = dn
+    ndim = len(op.attrs["lhs_shape"] or ())
+    if (tuple(rc), tuple(lb), tuple(rb)) != ((0,), (), ()) or \
+            tuple(lc) != (ndim - 1,) or w.ndim != 2:
+        return None
+    bs = spec.block_size
+    K, N = w.shape
+    if (spec.block_axis != 0 or spec.bitwidth > 4 or not spec.symmetric
+            or K % (2 * bs) != 0):
+        return None
+    wb = _to_blocks(w, bs, 0)                       # (g, bs, N)
+    q = quantize_to_int(wb, enc, signed=True, dtype=jnp.int32)
+    q = jnp.clip(q, -7, 7).reshape(K, N)
+    packed = _pack_int4_split_half(q)
+    scales = jnp.reshape(jnp.asarray(enc.delta, jnp.float32), (K // bs, N))
+    # the grouped kernel does not pad N; require a dividing block_n
+    pallas_ok = use_pallas and N % 256 == 0
+
+    def mm(x2d):
+        if pallas_ok:
+            return matmul_w4_grouped(x2d, packed, scales, group_size=bs,
+                                     out_dtype=jnp.float32)
+        return matmul_w4_grouped_xla(x2d, packed, scales, group_size=bs,
+                                     out_dtype=jnp.float32)
+
+    def replacement(x):
+        lead = x.shape[:-1]
+        out = mm(x.reshape(-1, x.shape[-1])).reshape(*lead, N)
+        out = out.astype(x.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
+
+    return replacement
+
+
 def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
                   act_enc=None):
     dn = op.attrs["dimension_numbers"]
@@ -254,6 +297,17 @@ def lower_to_int(sim, params, mode: str = "w8",
         bp = op.param_products.get("bias")
         if bp is not None:
             bias = leaves[graph._param_leaf_index[bp.param_path]]
+        if spec.block_size is not None:
+            # blockwise/LPBQ params route to the group-wise INT4 kernel
+            fn = (_lower_linear_grouped_int4(op, w, bias, enc, spec,
+                                             use_pallas)
+                  if op.type == "linear" else None)
+            if fn is None:
+                skipped.append(op.name)
+            else:
+                replacements[op.name] = fn
+                lowered.append(op.name)
+            continue
         act_enc = None
         if mode == "w8a8":
             a_enc, a_spec = _input_act_encoding(sim, op)

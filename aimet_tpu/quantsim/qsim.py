@@ -53,6 +53,9 @@ class QuantizerSpec:
     percentile: float = 100.0
     channel_axis: Optional[int] = None
     enabled: bool = True
+    # blockwise (v2 block_size quantizer / GroupedBlockQuantizeDequantize)
+    block_size: Optional[int] = None
+    block_axis: int = 0
 
 
 def _eval_jaxpr_raw(jaxpr, consts, args):
@@ -314,6 +317,18 @@ class QuantizationSimModel:
             emin, emax = enc.min, enc.max
         else:
             emin, emax = enc
+        if spec.block_size is not None:
+            # blockwise: encodings are stored in blocked-keepdims shape and
+            # broadcast against the blocked weight view directly
+            from ..quantization.blockwise import _to_blocks
+            xb = _to_blocks(x, spec.block_size, spec.block_axis)
+            out = quantize_dequantize(
+                xb, emin, emax, bitwidth=spec.bitwidth,
+                symmetric=spec.symmetric,
+                strict_symmetric=spec.strict_symmetric,
+                unsigned_symmetric=spec.unsigned_symmetric,
+                learn_range=learn_range)
+            return out.reshape(jnp.shape(x))
         emin = _broadcast_encoding(emin, jnp.ndim(x), spec.channel_axis)
         emax = _broadcast_encoding(emax, jnp.ndim(x), spec.channel_axis)
         return quantize_dequantize(
@@ -433,6 +448,12 @@ class QuantizationSimModel:
                 continue
             idx = self.graph._param_leaf_index[name]
             w = jnp.asarray(leaves[idx])
+            if spec.block_size is not None:
+                from ..quantization.blockwise import blockwise_encoding
+                self._encodings[name] = blockwise_encoding(
+                    w, spec.block_size, spec.block_axis,
+                    bitwidth=spec.bitwidth, symmetric=spec.symmetric)
+                continue
             analyzer = EncodingAnalyzer(spec.scheme, channel_axis=spec.channel_axis,
                                         percentile=spec.percentile)
             st = analyzer.update(analyzer.init_state(w.shape), w)
@@ -518,6 +539,33 @@ class QuantizationSimModel:
             return
         self._encodings[name] = self.recompute_encoding(name, bitwidth)
         self.quantizers[name] = dataclasses.replace(spec, bitwidth=bitwidth)
+
+    def set_param_blockwise(self, params, name: str, block_size: int,
+                            axis: int = 0, bitwidth: int = 4,
+                            symmetric: bool = True, lpbq: bool = False,
+                            scale_bitwidth: int = 4):
+        """Switch a param quantizer to blockwise (v2 ``block_size``
+        semantics) or LPBQ (``GroupedBlockQuantizeDequantize``): one
+        (min, max) per ``block_size`` slice along ``axis``; with
+        ``lpbq=True`` the per-block scales are themselves quantized onto a
+        per-group integer grid (aimet_onnx/lpbq_utils.py:46-133)."""
+        spec = self.quantizers[name]
+        assert spec.kind == "param", name
+        self.quantizers[name] = dataclasses.replace(
+            spec, block_size=block_size, block_axis=axis,
+            bitwidth=bitwidth, symmetric=symmetric, channel_axis=None)
+        leaves = jtu.tree_leaves(params)
+        w = jnp.asarray(leaves[self.graph._param_leaf_index[name]])
+        if lpbq:
+            from ..quantization.blockwise import \
+                grouped_block_quantize_dequantize
+            _, enc = grouped_block_quantize_dequantize(
+                w, block_size, axis, bitwidth, scale_bitwidth)
+        else:
+            from ..quantization.blockwise import blockwise_encoding
+            enc = blockwise_encoding(w, block_size, axis, bitwidth,
+                                     symmetric)
+        self._encodings[name] = enc
 
     @property
     def encodings(self) -> Dict[str, AffineEncoding]:

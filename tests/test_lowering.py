@@ -176,3 +176,43 @@ def test_w4_mode_skips_8bit_encodings(mlp):
     lowered = lower_to_int(sim, params, mode="w4")
     assert lowered.lowered_ops == []
     assert len(lowered.skipped_ops) == 2
+
+
+class TestBlockwiseLowering:
+    def test_blockwise_param_quantsim_and_grouped_lowering(self, rng):
+        """v2 block_size param quantizer -> grouped INT4 kernel."""
+        params = {"w1": jnp.asarray(rng.randn(64, 32).astype(np.float32) * 0.3),
+                  "b1": jnp.asarray(np.zeros(32, np.float32))}
+
+        def fn(p, x):
+            return x @ p["w1"] + p["b1"]
+
+        x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+        sim = QuantizationSimModel(fn, (params, x), quant_scheme="minmax")
+        sim.compute_encodings(params, iter([x]))
+
+        sim.set_param_blockwise(params, "['w1']", block_size=16, bitwidth=4)
+        # blockwise sim forward: finer grids than per-tensor INT4
+        q_out = sim.quantized_fn(params, x)
+        ref = fn(params, x)
+        rel_block = float(jnp.mean((q_out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert rel_block < 0.01
+
+        lowered = lower_to_int(sim, params, mode="w4")
+        assert lowered.lowered_ops == ["linear_0"]
+        out = lowered(params, x)
+        rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert rel < 0.01
+
+    def test_lpbq_param(self, rng):
+        params = {"w1": jnp.asarray(rng.randn(64, 32).astype(np.float32))}
+        fn = lambda p, x: x @ p["w1"]
+        x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+        sim = QuantizationSimModel(fn, (params, x), quant_scheme="minmax")
+        sim.compute_encodings(params, iter([x]))
+        sim.set_param_blockwise(params, "['w1']", block_size=16, bitwidth=4,
+                                lpbq=True)
+        q_out = sim.quantized_fn(params, x)
+        ref = fn(params, x)
+        rel = float(jnp.mean((q_out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert rel < 0.02
