@@ -14,6 +14,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "encoding_search.cpp")
+_SRC_SCHED = os.path.join(_HERE, "src", "scheduler.cpp")
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libaimet_host.so")
 
@@ -25,7 +26,7 @@ PDF_SIZE = 512
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, _SRC_SCHED,
            "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -39,7 +40,7 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    src_mtime = os.path.getmtime(_SRC)
+    src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_SCHED))
     if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
         if not _build():
             return None
@@ -57,6 +58,25 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.aimet_mse_search.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int, dp]
     lib.aimet_version.restype = ctypes.c_int
+    # continuous-batching scheduler (src/scheduler.cpp)
+    ip = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.cb_create.restype = ctypes.c_void_p
+    lib.cb_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.cb_destroy.argtypes = [ctypes.c_void_p]
+    lib.cb_submit.restype = ctypes.c_int64
+    lib.cb_submit.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int]
+    lib.cb_admit.argtypes = [ctypes.c_void_p,
+                             ctypes.POINTER(ctypes.c_int64)]
+    lib.cb_start.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.cb_record.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.cb_active.argtypes = [ctypes.c_void_p]
+    lib.cb_pending.argtypes = [ctypes.c_void_p]
+    lib.cb_active_slots.argtypes = [ctypes.c_void_p, ip]
+    lib.cb_decode_state.argtypes = [ctypes.c_void_p, ip, ip]
+    lib.cb_decode_state.restype = None
+    lib.cb_request_done.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.cb_request_generated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -120,3 +140,65 @@ def mse_search(xleft: np.ndarray, pdf: np.ndarray, bitwidth: int,
         bitwidth, int(symmetric), int(strict_symmetric),
         int(unsigned_symmetric), out)
     return float(out[0]), float(out[1])
+
+
+class NativeScheduler:
+    """ctypes wrapper over the C++ continuous-batching scheduler
+    (src/scheduler.cpp): admission queue, slot lifecycle, termination."""
+
+    def __init__(self, num_slots: int, max_len: int):
+        lib = _load()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.cb_create(num_slots, max_len))
+        self.num_slots = num_slots
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.cb_destroy(h)
+            self._h = None
+
+    def submit(self, prompt_len: int, max_new_tokens: int,
+               eos_id: Optional[int]) -> int:
+        return int(self._lib.cb_submit(
+            self._h, prompt_len, max_new_tokens,
+            -1 if eos_id is None else eos_id))
+
+    def admit(self) -> Tuple[int, Optional[int]]:
+        """(slot, uid) for the next admitted request, or (-1, None)."""
+        uid = ctypes.c_int64(-1)
+        slot = int(self._lib.cb_admit(self._h, ctypes.byref(uid)))
+        return slot, (int(uid.value) if slot >= 0 else None)
+
+    def start(self, slot: int, first_token: int) -> bool:
+        return bool(self._lib.cb_start(self._h, slot, first_token))
+
+    def record(self, slot: int, token: int) -> bool:
+        return bool(self._lib.cb_record(self._h, slot, token))
+
+    @property
+    def num_active(self) -> int:
+        return int(self._lib.cb_active(self._h))
+
+    @property
+    def num_pending(self) -> int:
+        return int(self._lib.cb_pending(self._h))
+
+    def active_slots(self):
+        out = np.zeros(self.num_slots, np.int32)
+        n = int(self._lib.cb_active_slots(self._h, out))
+        return out[:n].tolist()
+
+    def decode_state(self):
+        """(last_tokens, positions) int32 arrays over all slots."""
+        toks = np.zeros(self.num_slots, np.int32)
+        pos = np.zeros(self.num_slots, np.int32)
+        self._lib.cb_decode_state(self._h, toks, pos)
+        return toks, pos
+
+    def request_done(self, uid: int) -> bool:
+        return self._lib.cb_request_done(self._h, uid) == 1
+
+    def request_generated(self, uid: int) -> int:
+        return int(self._lib.cb_request_generated(self._h, uid))

@@ -49,10 +49,14 @@ def initialize(coordinator_address: Optional[str] = None,
         kwargs["local_device_ids"] = list(local_device_ids)
     try:
         jax.distributed.initialize(**kwargs)
-    except ValueError:
+    except (ValueError, RuntimeError):
+        # ValueError: no coordinator auto-detectable; RuntimeError: XLA
+        # backend already initialized (e.g. library use mid-process).
+        # Both mean "run single-process" unless the caller passed explicit
+        # coordinator args — then surface the failure.
         if ca:
-            raise       # explicit coordinator args were wrong — surface it
-        return          # no coordinator auto-detectable: single-process run
+            raise
+        return
     initialize._done = True
 
 

@@ -30,7 +30,12 @@ class Request:
 
 
 class ContinuousBatcher:
-    def __init__(self, llm: QuantizedLLM, num_slots: int = 4):
+    """``use_native=True`` (default) runs the admission/slot/termination
+    state machine in the C++ runtime (native/src/scheduler.cpp); the pure-
+    Python path below is the fallback and the behavioral reference."""
+
+    def __init__(self, llm: QuantizedLLM, num_slots: int = 4,
+                 use_native: bool = True):
         self.llm = llm
         self.num_slots = num_slots
         self.caches = llm.new_caches(num_slots)
@@ -39,10 +44,21 @@ class ContinuousBatcher:
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self._uid = 0
         self.pending: List[Request] = []
+        self._sched = None
+        if use_native:
+            from .. import native
+            if native.available():
+                self._sched = native.NativeScheduler(num_slots, llm.max_len)
+                self._by_uid: Dict[int, Request] = {}
 
     # -- API ---------------------------------------------------------------
     def submit(self, prompt: List[int], max_new_tokens: int = 16,
                eos_id: Optional[int] = None) -> Request:
+        if self._sched is not None:
+            uid = self._sched.submit(len(prompt), max_new_tokens, eos_id)
+            req = Request(uid, list(prompt), max_new_tokens, eos_id)
+            self._by_uid[uid] = req
+            return req
         req = Request(self._uid, list(prompt), max_new_tokens, eos_id)
         self._uid += 1
         self.pending.append(req)
@@ -50,6 +66,8 @@ class ContinuousBatcher:
 
     @property
     def num_active(self) -> int:
+        if self._sched is not None:
+            return self._sched.num_active
         return sum(r is not None for r in self.slot_req)
 
     def _free_slots(self):
@@ -84,10 +102,25 @@ class ContinuousBatcher:
             req.done = True
             self.slot_req[slot] = None
 
+    def _prefill_llm(self, req: Request, slot: int) -> int:
+        """Run the jitted prefill for one request, write its cache row into
+        ``slot``; returns the first generated token."""
+        llm = self.llm
+        tokens = jnp.asarray([req.prompt], jnp.int32)
+        one_caches = llm.new_caches(1)
+        logits, one_caches = llm._prefill(llm.qw, llm.cfg, tokens,
+                                          one_caches, 0)
+        self.caches = [
+            jtu.tree_map(lambda full, one: full.at[slot].set(one[0]), c, oc)
+            for c, oc in zip(self.caches, one_caches)]
+        return int(jnp.argmax(logits[0, -1]))
+
     # -- engine step ---------------------------------------------------------
     def step(self):
         """Admit pending requests into free slots, then decode one token for
         every active slot."""
+        if self._sched is not None:
+            return self._step_native()
         for slot in self._free_slots():
             if not self.pending:
                 break
@@ -110,9 +143,43 @@ class ContinuousBatcher:
             self._maybe_finish(slot)
         return True
 
+    def _step_native(self):
+        sched = self._sched
+        while True:
+            slot, uid = sched.admit()
+            if slot < 0:
+                break
+            req = self._by_uid[uid]
+            tok = self._prefill_llm(req, slot)
+            req.generated.append(tok)
+            self.slot_req[slot] = req        # token routing only; lifecycle
+            if sched.start(slot, tok):       # is owned by the C++ scheduler
+                req.done = True
+                self.slot_req[slot] = None
+
+        active = sched.active_slots()
+        if not active:
+            return False
+        toks, pos = sched.decode_state()
+        logits, self.caches = self.llm._decode(
+            self.llm.qw, self.llm.cfg,
+            jnp.asarray(toks[:, None], jnp.int32), self.caches,
+            jnp.asarray(pos, jnp.int32))
+        new_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1), np.int32)
+        for slot in active:
+            req = self.slot_req[slot]
+            t = int(new_tok[slot])
+            req.generated.append(t)
+            if sched.record(slot, t):
+                req.done = True
+                self.slot_req[slot] = None
+        return True
+
     def run_until_done(self, max_steps: int = 10_000):
         steps = 0
-        while (self.pending or self.num_active) and steps < max_steps:
+        while ((self.pending or self.num_active
+                or (self._sched is not None and self._sched.num_pending))
+               and steps < max_steps):
             self.step()
             steps += 1
         return steps

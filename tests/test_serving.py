@@ -136,3 +136,46 @@ class TestShardedServing:
                                       max_len=32)
         out = sharded.generate(prompts, 5)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestNativeScheduler:
+    def test_native_matches_python_batcher(self, tiny_model, rng):
+        """The C++ scheduler must schedule/terminate exactly like the
+        Python reference implementation."""
+        from aimet_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("native lib unavailable")
+        cfg, model, variables = tiny_model
+        llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
+        prompts = [list(rng.randint(0, 64, n)) for n in (4, 3, 5, 2, 4)]
+
+        def run(use_native):
+            b = ContinuousBatcher(llm, num_slots=2, use_native=use_native)
+            reqs = [b.submit(p, max_new_tokens=m)
+                    for p, m in zip(prompts, (5, 3, 6, 4, 2))]
+            steps = b.run_until_done(max_steps=200)
+            assert all(r.done for r in reqs)
+            return [r.generated for r in reqs], steps
+
+        gen_py, steps_py = run(False)
+        gen_nat, steps_nat = run(True)
+        assert gen_nat == gen_py
+        assert steps_nat == steps_py
+
+    def test_native_eos_termination(self, tiny_model, rng):
+        from aimet_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("native lib unavailable")
+        cfg, model, variables = tiny_model
+        llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
+        b = ContinuousBatcher(llm, num_slots=2, use_native=True)
+        # eos = whatever greedy emits first -> request ends after 1 token
+        probe = ContinuousBatcher(llm, num_slots=1, use_native=False)
+        pr = probe.submit([1, 2, 3], max_new_tokens=1)
+        probe.run_until_done()
+        eos = pr.generated[0]
+        r = b.submit([1, 2, 3], max_new_tokens=10, eos_id=eos)
+        b.run_until_done(max_steps=50)
+        assert r.done and r.generated[-1] == eos and len(r.generated) == 1
