@@ -21,3 +21,6 @@ from .quantization.grads import quantize_dequantize, round_ste
 from .quantsim.config import QuantSimConfig
 from .quantsim.qsim import QuantizationSimModel
 from .graph.connected_graph import ConnectedGraph
+from .quantsim.lowering import LoweredModel, lower_to_int
+from .quantsim.legacy import MainQuantizer
+from .quantsim.recurrent import RecurrentQuantizer, RecurrentQuantSpec

@@ -41,6 +41,8 @@ class KDConfig:
     alpha: float = 0.5
     enc_lr: float = 1e-5
     ignore_index: int = -100
+    remat: bool = False   # rematerialize the student forward (trade FLOPs
+                          # for HBM — replaces the reference's ZeRO tricks)
 
 
 def kd_loss(student_logits: jax.Array, teacher_logits: jax.Array,
@@ -105,6 +107,8 @@ def make_qat_kd_step(sim, teacher_apply: Callable,
     for multi-chip runs (see examples/llm_qat_kd.py).
     """
     qat_apply, enc0 = sim.qat_fn()
+    if cfg.remat:
+        qat_apply = jax.checkpoint(qat_apply)
     state0 = KDTrainState(params=None, enc=enc0, opt_state=None)
 
     def loss_fn(params, enc, teacher_params, tokens, labels):

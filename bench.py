@@ -24,8 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 M, K, N = 1024, 4096, 4096
-N0, N1 = 8, 72
-REPS = 4
+# the slope signal (T(N1)-T(N0)) must dwarf relay jitter (tens of ms):
+# ~250 chained matmuls ~= 200ms of pure device time per measurement
+N0, N1 = 16, 264
+REPS = 6
 
 
 def slope_time(make_chain):
@@ -47,9 +49,11 @@ def slope_time(make_chain):
 def main():
     from aimet_tpu.ops.int_matmul import (
         matmul_w4,
+        matmul_w4_grouped,
         matmul_w8,
         matmul_w8a8,
         quantize_weight_int4,
+        quantize_weight_int4_grouped,
         quantize_weight_per_channel,
     )
 
@@ -78,10 +82,15 @@ def main():
         a, wq8, s8, out_dtype=jnp.bfloat16)))
     t_w4 = slope_time(chain(lambda a: matmul_w4(
         a, wp4, s4, out_dtype=jnp.bfloat16)))
+    wp4g, s4g = quantize_weight_int4_grouped(w, group_size=128)
+    s4g = s4g * 0.01
+    t_w4g = slope_time(chain(lambda a: matmul_w4_grouped(
+        a, wp4g, s4g, group_size=128, out_dtype=jnp.bfloat16)))
 
     tflops = lambda t: flops / t / 1e12
     results = {"bf16_xla": tflops(t_bf16), "w8a8": tflops(t_w8a8),
-               "w8": tflops(t_w8), "w4": tflops(t_w4)}
+               "w8": tflops(t_w8), "w4": tflops(t_w4),
+               "w4_grouped": tflops(t_w4g)}
     print("# all results (TFLOP/s): " + json.dumps(
         {k: round(v, 2) for k, v in results.items()}), file=sys.stderr)
 

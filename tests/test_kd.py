@@ -98,3 +98,30 @@ class TestQATKDStep:
         deltas = [float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
                   for a, b in zip(enc_after, enc_before)]
         assert max(deltas) > 0.0  # range learning actually moved encodings
+
+
+def test_remat_step_matches_plain(rng):
+    """cfg.remat=True must be numerically identical (just recomputes
+    activations in backward)."""
+    from aimet_tpu.models.transformer import Transformer, TransformerConfig
+    from aimet_tpu.quantsim.qsim import QuantizationSimModel
+
+    cfg = TransformerConfig.tiny(vocab_size=32)
+    model = Transformer(cfg)
+    tokens = jnp.zeros((2, 6), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), tokens)
+    fn = lambda p, t: model.apply(p, t)
+    sim = QuantizationSimModel(fn, (v, tokens), quant_scheme="minmax")
+    sim.compute_encodings(v, iter([jnp.zeros((2, 6), jnp.int32)]))
+
+    opt = optax.sgd(1e-2)
+    toks = jnp.asarray(rng.randint(0, 32, (2, 6)), jnp.int32)
+    labels = shift_labels(toks)
+    outs = []
+    for remat in (False, True):
+        kcfg = KDConfig(remat=remat)
+        s0, step = make_qat_kd_step(sim, fn, opt, kcfg)
+        state = init_kd_state(s0, v, opt)
+        state, loss = jax.jit(step)(state, v, toks, labels)
+        outs.append(float(loss))
+    assert outs[0] == pytest.approx(outs[1], rel=1e-6)
