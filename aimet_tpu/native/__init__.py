@@ -77,6 +77,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cb_decode_state.restype = None
     lib.cb_request_done.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.cb_request_generated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.cb_evict.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -172,10 +173,16 @@ class NativeScheduler:
         return slot, (int(uid.value) if slot >= 0 else None)
 
     def start(self, slot: int, first_token: int) -> bool:
-        return bool(self._lib.cb_start(self._h, slot, first_token))
+        r = self._lib.cb_start(self._h, slot, first_token)
+        if r < 0:
+            raise RuntimeError(f"scheduler: slot {slot} has no request")
+        return bool(r)
 
     def record(self, slot: int, token: int) -> bool:
-        return bool(self._lib.cb_record(self._h, slot, token))
+        r = self._lib.cb_record(self._h, slot, token)
+        if r < 0:
+            raise RuntimeError(f"scheduler: slot {slot} has no request")
+        return bool(r)
 
     @property
     def num_active(self) -> int:
@@ -202,3 +209,8 @@ class NativeScheduler:
 
     def request_generated(self, uid: int) -> int:
         return int(self._lib.cb_request_generated(self._h, uid))
+
+    def evict(self, uid: int) -> bool:
+        """Drop a finished request's record (call after consuming its
+        output; keeps long-running servers bounded)."""
+        return self._lib.cb_evict(self._h, uid) == 1

@@ -163,4 +163,15 @@ int cb_request_generated(void* sv, int64_t uid) {
   return it == s->requests.end() ? -1 : it->second.generated;
 }
 
+// Drop a finished request's record (long-running servers must evict or the
+// registry grows unboundedly). Returns 1 on success, 0 if absent or still
+// active.
+int cb_evict(void* sv, int64_t uid) {
+  auto* s = static_cast<Scheduler*>(sv);
+  auto it = s->requests.find(uid);
+  if (it == s->requests.end() || !it->second.done) return 0;
+  s->requests.erase(it);
+  return 1;
+}
+
 }  // extern "C"

@@ -373,6 +373,7 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
     g_per_half = K2 // group_size
     block_m = min(block_m, max(8, M))
     block_k = min(block_k, K2)
+    block_n = min(block_n, -(-N // 128) * 128)
     assert block_k % group_size == 0
 
     x, m0 = _pad_to(x, block_m, 0)
@@ -380,13 +381,25 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
     x_hi = x[:, K2:]
     s_lo = scales[:g_per_half]
     s_hi = scales[g_per_half:]
-    Mp = x_lo.shape[0]
-    nk = K2 // block_k
+    # pad the packed-K and N dims like every other kernel here (padded
+    # weight rows are zero, so scale padding value is irrelevant)
+    x_lo, _ = _pad_to(x_lo, block_k, 1)
+    x_hi, _ = _pad_to(x_hi, block_k, 1)
+    w_packed, _ = _pad_to(w_packed, block_k, 0)
+    w_packed, _ = _pad_to(w_packed, block_n, 1)
     gb = block_k // group_size
+    s_lo, _ = _pad_to(s_lo, gb, 0)
+    s_lo, _ = _pad_to(s_lo, block_n, 1)
+    s_hi, _ = _pad_to(s_hi, gb, 0)
+    s_hi, _ = _pad_to(s_hi, block_n, 1)
+    Mp = x_lo.shape[0]
+    Kp2 = x_lo.shape[1]
+    Np = w_packed.shape[1]
+    nk = Kp2 // block_k
 
     out = pl.pallas_call(
         functools.partial(_w4g_kernel, nk=nk, group_size=group_size),
-        grid=(Mp // block_m, N // block_n, nk),
+        grid=(Mp // block_m, Np // block_n, nk),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
@@ -401,7 +414,7 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K, bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
@@ -410,7 +423,7 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(x_lo, x_hi, w_packed, s_lo, s_hi)
-    return out[:m0]
+    return out[:m0, :N]
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",

@@ -49,12 +49,15 @@ def initialize(coordinator_address: Optional[str] = None,
         kwargs["local_device_ids"] = list(local_device_ids)
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # ValueError: no coordinator auto-detectable; RuntimeError: XLA
-        # backend already initialized (e.g. library use mid-process).
-        # Both mean "run single-process" unless the caller passed explicit
-        # coordinator args — then surface the failure.
-        if ca:
+    except (ValueError, RuntimeError) as err:
+        # swallow ONLY the two "this is a single-process context" signals
+        # (no coordinator anywhere / backend already up in library use);
+        # real multi-host init failures on a pod must surface, or hosts
+        # would silently fork into independent single-process jobs
+        msg = str(err)
+        benign = ("coordinator_address should be defined" in msg
+                  or "must be called before" in msg)
+        if ca or not benign:
             raise
         return
     initialize._done = True

@@ -56,6 +56,8 @@ class QuantizerSpec:
     # blockwise (v2 block_size quantizer / GroupedBlockQuantizeDequantize)
     block_size: Optional[int] = None
     block_axis: int = 0
+    lpbq: bool = False              # LPBQ-compressed block scales
+    lpbq_scale_bw: int = 4
 
 
 def _eval_jaxpr_raw(jaxpr, consts, args):
@@ -449,10 +451,18 @@ class QuantizationSimModel:
             idx = self.graph._param_leaf_index[name]
             w = jnp.asarray(leaves[idx])
             if spec.block_size is not None:
-                from ..quantization.blockwise import blockwise_encoding
-                self._encodings[name] = blockwise_encoding(
-                    w, spec.block_size, spec.block_axis,
-                    bitwidth=spec.bitwidth, symmetric=spec.symmetric)
+                if spec.lpbq:
+                    from ..quantization.blockwise import \
+                        grouped_block_quantize_dequantize
+                    _, enc = grouped_block_quantize_dequantize(
+                        w, spec.block_size, spec.block_axis,
+                        spec.bitwidth, spec.lpbq_scale_bw)
+                    self._encodings[name] = enc
+                else:
+                    from ..quantization.blockwise import blockwise_encoding
+                    self._encodings[name] = blockwise_encoding(
+                        w, spec.block_size, spec.block_axis,
+                        bitwidth=spec.bitwidth, symmetric=spec.symmetric)
                 continue
             analyzer = EncodingAnalyzer(spec.scheme, channel_axis=spec.channel_axis,
                                         percentile=spec.percentile)
@@ -553,7 +563,8 @@ class QuantizationSimModel:
         assert spec.kind == "param", name
         self.quantizers[name] = dataclasses.replace(
             spec, block_size=block_size, block_axis=axis,
-            bitwidth=bitwidth, symmetric=symmetric, channel_axis=None)
+            bitwidth=bitwidth, symmetric=symmetric, channel_axis=None,
+            lpbq=lpbq, lpbq_scale_bw=scale_bitwidth)
         leaves = jtu.tree_leaves(params)
         w = jnp.asarray(leaves[self.graph._param_leaf_index[name]])
         if lpbq:
@@ -602,6 +613,18 @@ class QuantizationSimModel:
         StaticGridQuantWrapper's per-step training behavior
         (qc_quantize_op.py:771-777)."""
         from ..quantization.affine import gate_min_max, reduce_min_max
+        if spec.block_size is not None:
+            from ..quantization.blockwise import _to_blocks
+            wb = _to_blocks(w, spec.block_size, spec.block_axis)
+            mn = jnp.min(wb, axis=spec.block_axis + 1, keepdims=True)
+            mx = jnp.max(wb, axis=spec.block_axis + 1, keepdims=True)
+            mn, mx = gate_min_max(mn, mx)
+            out = quantize_dequantize(
+                wb, mn, mx, bitwidth=spec.bitwidth,
+                symmetric=spec.symmetric,
+                strict_symmetric=spec.strict_symmetric,
+                unsigned_symmetric=spec.unsigned_symmetric)
+            return out.reshape(jnp.shape(w))
         mn, mx = reduce_min_max(w, channel_axis=spec.channel_axis)
         mn, mx = gate_min_max(mn, mx)
         emin = _broadcast_encoding(mn, jnp.ndim(w), spec.channel_axis)
@@ -666,12 +689,14 @@ class QuantizationSimModel:
         def entry(name):
             enc = self._encodings[name]
             spec = self.quantizers[name]
-            deltas = np.atleast_1d(np.asarray(enc.delta)).tolist()
-            offsets = [int(o) for o in np.atleast_1d(np.asarray(enc.offset))]
+            deltas = np.asarray(enc.delta).reshape(-1).tolist()
+            offsets = [int(o) for o in np.asarray(enc.offset).reshape(-1)]
+            enc_type = "PER_TENSOR" if len(deltas) == 1 else (
+                "PER_BLOCK" if spec.block_size is not None else "PER_CHANNEL")
             return {
                 "name": name,
                 "dtype": "INT",
-                "enc_type": ("PER_CHANNEL" if len(deltas) > 1 else "PER_TENSOR"),
+                "enc_type": enc_type,
                 "bw": spec.bitwidth,
                 "is_sym": bool(spec.symmetric),
                 "scale": deltas,
@@ -693,10 +718,10 @@ class QuantizationSimModel:
         def enc_entries(name):
             enc = self._encodings[name]
             spec = self.quantizers[name]
-            mins = np.atleast_1d(np.asarray(enc.min))
-            maxs = np.atleast_1d(np.asarray(enc.max))
-            deltas = np.atleast_1d(np.asarray(enc.delta))
-            offsets = np.atleast_1d(np.asarray(enc.offset))
+            mins = np.asarray(enc.min).reshape(-1)
+            maxs = np.asarray(enc.max).reshape(-1)
+            deltas = np.asarray(enc.delta).reshape(-1)
+            offsets = np.asarray(enc.offset).reshape(-1)
             return [{
                 "bitwidth": spec.bitwidth,
                 "dtype": "int",
@@ -740,13 +765,19 @@ class QuantizationSimModel:
             if not quantized or key not in self._encodings:
                 continue
             spec = self.quantizers.get(key)
-            if spec is None or not spec.symmetric:
+            if spec is None or not spec.symmetric or spec.bitwidth > 8:
                 continue
             enc = self._encodings[key]
-            q = quantize_to_int(jnp.asarray(leaf), enc,
-                                channel_axis=spec.channel_axis,
-                                signed=True, dtype=jnp.int32)
+            wj = jnp.asarray(leaf)
             lim = 2 ** (spec.bitwidth - 1) - 1
+            if spec.block_size is not None:
+                from ..quantization.blockwise import _to_blocks
+                wb = _to_blocks(wj, spec.block_size, spec.block_axis)
+                q = quantize_to_int(wb, enc, signed=True,
+                                    dtype=jnp.int32).reshape(wj.shape)
+            else:
+                q = quantize_to_int(wj, enc, channel_axis=spec.channel_axis,
+                                    signed=True, dtype=jnp.int32)
             tensors[key + ".int"] = np.asarray(
                 jnp.clip(q, -lim, lim), np.int8)
             tensors[key + ".scale"] = np.asarray(

@@ -75,16 +75,7 @@ class ContinuousBatcher:
 
     # -- internals -----------------------------------------------------------
     def _prefill_into_slot(self, slot: int, req: Request):
-        llm = self.llm
-        tokens = jnp.asarray([req.prompt], jnp.int32)
-        one_caches = llm.new_caches(1)
-        logits, one_caches = llm._prefill(llm.qw, llm.cfg, tokens,
-                                          one_caches, 0)
-        # copy the single-row caches into the slot
-        self.caches = [
-            jtu.tree_map(lambda full, one: full.at[slot].set(one[0]), c, oc)
-            for c, oc in zip(self.caches, one_caches)]
-        tok = int(jnp.argmax(logits[0, -1]))
+        tok = self._prefill_llm(req, slot)
         req.generated.append(tok)
         self.slot_req[slot] = req
         self.positions[slot] = len(req.prompt)
@@ -145,7 +136,9 @@ class ContinuousBatcher:
 
     def _step_native(self):
         sched = self._sched
-        while True:
+        # admit at most the number of slots free at step start, matching the
+        # Python reference (slots freed mid-admission wait one step)
+        for _ in range(self.num_slots - sched.num_active):
             slot, uid = sched.admit()
             if slot < 0:
                 break
@@ -154,8 +147,7 @@ class ContinuousBatcher:
             req.generated.append(tok)
             self.slot_req[slot] = req        # token routing only; lifecycle
             if sched.start(slot, tok):       # is owned by the C++ scheduler
-                req.done = True
-                self.slot_req[slot] = None
+                self._finish_native(slot, req)
 
         active = sched.active_slots()
         if not active:
@@ -171,9 +163,14 @@ class ContinuousBatcher:
             t = int(new_tok[slot])
             req.generated.append(t)
             if sched.record(slot, t):
-                req.done = True
-                self.slot_req[slot] = None
+                self._finish_native(slot, req)
         return True
+
+    def _finish_native(self, slot: int, req: Request):
+        req.done = True
+        self.slot_req[slot] = None
+        self._sched.evict(req.uid)       # bound the registries
+        self._by_uid.pop(req.uid, None)
 
     def run_until_done(self, max_steps: int = 10_000):
         steps = 0

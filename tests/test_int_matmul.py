@@ -125,3 +125,23 @@ class TestGroupedInt4:
                                 block_n=128, block_k=64)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_w4_grouped_k_remainder_and_small_n(rng):
+    """Padding regression (code review): K2 not divisible by block_k and
+    N not divisible by block_n must still be exact."""
+    from aimet_tpu.ops.int_matmul import (
+        matmul_w4_grouped, matmul_w4_grouped_xla,
+        quantize_weight_int4_grouped)
+
+    K, N = 3072, 192          # K2=1536 (not % 1024), N not % 256
+    w = jnp.asarray((rng.randn(K, N) * 0.1).astype(np.float32))
+    wp, s = quantize_weight_int4_grouped(w, group_size=128)
+    x = jnp.asarray(rng.randn(16, K).astype(np.float32))
+    ref = matmul_w4_grouped_xla(x, wp, s, group_size=128,
+                                out_dtype=jnp.float32)
+    out = matmul_w4_grouped(x, wp, s, group_size=128,
+                            out_dtype=jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

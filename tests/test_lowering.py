@@ -216,3 +216,37 @@ class TestBlockwiseLowering:
         ref = fn(params, x)
         rel = float(jnp.mean((q_out - ref) ** 2) / jnp.mean(ref ** 2))
         assert rel < 0.02
+
+
+def test_blockwise_export_and_recompute(rng, tmp_path):
+    """Code-review regressions: JSON exports must handle blockwise
+    encodings; recomputation must preserve LPBQ; safetensors int codes
+    must keep the weight's shape."""
+    params = {"w1": jnp.asarray(rng.randn(64, 32).astype(np.float32))}
+    fn = lambda p, x: x @ p["w1"]
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    sim = QuantizationSimModel(fn, (params, x), quant_scheme="minmax")
+    sim.compute_encodings(params, iter([x]))
+    sim.set_param_blockwise(params, "['w1']", block_size=16, bitwidth=4,
+                            lpbq=True)
+    enc_before = sim.encodings["['w1']"]
+
+    # both JSON formats export without crashing, with per-block entries
+    v0 = sim.export_encodings()
+    v1 = sim.export_encodings_v1()
+    assert len(v0["param_encodings"]["['w1']"]) == 4 * 32  # g*N entries
+    w1_v1 = next(e for e in v1["param_encodings"] if e["name"] == "['w1']")
+    assert w1_v1["enc_type"] == "PER_BLOCK"
+
+    # recompute keeps the LPBQ grid (spec records lpbq)
+    sim.compute_param_encodings(params)
+    enc_after = sim.encodings["['w1']"]
+    np.testing.assert_allclose(np.asarray(enc_after.delta),
+                               np.asarray(enc_before.delta))
+
+    # safetensors int codes keep the weight shape
+    from safetensors.numpy import load_file
+    out = sim.export_safetensors(str(tmp_path), "m", params, quantized=True)
+    loaded = load_file(out)
+    assert loaded["['w1'].int"].shape == (64, 32)
+    assert loaded["['w1'].scale"].shape == (4 * 32,)
