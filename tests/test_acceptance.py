@@ -183,3 +183,37 @@ class TestCompressionAcceptance:
         agree = np.mean(np.asarray(jnp.argmax(ref, -1) == jnp.argmax(out, -1)))
         assert agree >= 0.5
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestEndToEndDeployment:
+    def test_dfq_then_true_int_lowering(self, mnv2, rng):
+        """The full headline workflow: BN fold -> CLE -> calibrate ->
+        lower to true INT8 execution. The lowered executable must track
+        the FP model as closely as the simulation promised."""
+        from aimet_tpu.algorithms.cle import equalize_model
+        from aimet_tpu.quantsim.lowering import lower_to_int
+
+        model, v = mnv2
+        x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        fn = lambda p, x: model.apply(p, x)
+
+        graph = ConnectedGraph(fn, (v, x))
+        eq_params = equalize_model(graph, v)   # BN fold -> CLS -> HBF
+        # NOTE: like the reference, CLE replaces ReLU6 semantics, so the
+        # fidelity baseline is the equalized FP model, not the original
+        eq_ref = fn(eq_params, x)
+        sim = QuantizationSimModel(fn, (eq_params, x),
+                                   quant_scheme="minmax",
+                                   default_param_bw=8, default_output_bw=8)
+        sim.compute_encodings(eq_params, iter([x]))
+        sim_out = sim.quantized_fn(eq_params, x)
+
+        for mode in ("w8", "w8a8"):
+            lowered = lower_to_int(sim, eq_params, mode=mode)
+            assert len(lowered.lowered_ops) >= 5
+            out = lowered(eq_params, x)
+            # true-INT execution must be at least as faithful to the
+            # equalized FP model as the full simulation is
+            assert sqnr_db(eq_ref, out) >= sqnr_db(eq_ref, sim_out) - 1.0, mode
+            # and must track what the simulation promised
+            assert sqnr_db(sim_out, out) > 25.0, mode
