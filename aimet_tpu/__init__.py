@@ -24,3 +24,11 @@ from .graph.connected_graph import ConnectedGraph
 from .quantsim.lowering import LoweredModel, lower_to_int
 from .quantsim.legacy import MainQuantizer
 from .quantsim.recurrent import RecurrentQuantizer, RecurrentQuantSpec
+
+
+def __getattr__(name):
+    # lazy: importing torch (interop only) at package load would be wasteful
+    if name == "from_torch":
+        from .interop import from_torch
+        return from_torch
+    raise AttributeError(f"module 'aimet_tpu' has no attribute {name!r}")

@@ -15,6 +15,7 @@ EXAMPLES = [
     "examples.true_int_deployment",
     "examples.llm_qat_kd",
     "examples.multihost_serving",
+    "examples.torch_migration",
 ]
 
 

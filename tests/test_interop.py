@@ -1,0 +1,173 @@
+"""Torch-interop tests: fx import fidelity vs torch eval outputs, and the
+imported function driving the quantsim end to end — mirrors the reference's
+tiny-model zoo strategy (test/python/models/test_models.py)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn
+import torch.nn.functional as F
+
+from aimet_tpu.interop import from_torch
+from aimet_tpu.quantsim.qsim import QuantizationSimModel
+
+
+def _check(model, *torch_inputs, atol=2e-4):
+    model = model.eval()
+    with torch.no_grad():
+        want = model(*torch_inputs)
+    fn, params = from_torch(model)
+    got = fn(params, *(jnp.asarray(t.numpy()) for t in torch_inputs))
+    if isinstance(want, (tuple, list)):
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(g), w.numpy(), atol=atol)
+    else:
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=atol)
+    return fn, params
+
+
+class SmallConvNet(nn.Module):
+    """Conv/BN/act/pool zoo, depthwise + grouped convs (mobilenet-style)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 8, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(8)
+        self.dw = nn.Conv2d(8, 8, 3, padding=1, groups=8)
+        self.hs = nn.Hardswish()
+        self.conv2 = nn.Conv2d(8, 12, 1)
+        self.pool = nn.MaxPool2d(2, ceil_mode=True)
+        self.gap = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(12, 5)
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = self.hs(self.dw(x))
+        x = self.pool(self.conv2(x))
+        x = self.gap(x)
+        x = torch.flatten(x, 1)
+        return self.fc(x)
+
+
+class ResidualNet(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(4, 4, 3, padding=1)
+        self.bn = nn.BatchNorm2d(4)
+        self.conv2 = nn.Conv2d(4, 4, 3, padding=1, dilation=1)
+        self.fc = nn.Linear(4 * 8 * 8, 10)
+
+    def forward(self, x):
+        y = F.relu(self.bn(self.conv1(x)))
+        y = self.conv2(y)
+        x = F.relu(x + y)
+        x = x.view(x.size(0), -1)
+        return F.log_softmax(self.fc(x), dim=1)
+
+
+class TinyAttention(nn.Module):
+    """Manual attention: matmul/softmax/permute/reshape method chain."""
+
+    def __init__(self, d=16, h=2):
+        super().__init__()
+        self.h = h
+        self.qkv = nn.Linear(d, 3 * d)
+        self.ln = nn.LayerNorm(d)
+        self.out = nn.Linear(d, d)
+
+    def forward(self, x):
+        b, t, d = x.size(0), x.size(1), x.size(2)
+        qkv = self.qkv(self.ln(x)).view(b, t, 3, self.h, d // self.h)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = torch.matmul(q, k.transpose(-2, -1)) / (d // self.h) ** 0.5
+        att = att.softmax(dim=-1)
+        y = torch.matmul(att, v)
+        y = y.permute(0, 2, 1, 3).reshape(b, t, d)
+        return self.out(y) + x
+
+
+class MixedOps(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.emb = nn.Embedding(32, 8)
+        self.gn = nn.GroupNorm(2, 8)
+        self.convt = nn.ConvTranspose2d(8, 4, 2, stride=2)
+        self.pr = nn.PReLU(4)
+
+    def forward(self, idx, img):
+        e = self.emb(idx).mean(dim=1)
+        img = self.gn(img)
+        img = self.pr(self.convt(img))
+        pooled = F.avg_pool2d(img, 2)
+        flat = torch.flatten(pooled, 1)
+        parts = torch.chunk(flat, 2, dim=1)
+        left = torch.cat([parts[0][:, :8] + e, parts[0][:, 8:]], dim=1)
+        return torch.cat([left, parts[1]], dim=1)
+
+
+class TestImportFidelity:
+    def test_conv_net(self):
+        torch.manual_seed(0)
+        _check(SmallConvNet(), torch.randn(2, 3, 16, 16))
+
+    def test_residual_view_logsoftmax(self):
+        torch.manual_seed(1)
+        _check(ResidualNet(), torch.randn(2, 4, 8, 8))
+
+    def test_attention_methods(self):
+        torch.manual_seed(2)
+        _check(TinyAttention(), torch.randn(2, 6, 16))
+
+    def test_mixed_embedding_groupnorm_convtranspose(self):
+        torch.manual_seed(3)
+        idx = torch.randint(0, 32, (2, 5))
+        img = torch.randn(2, 8, 4, 4)
+        model = MixedOps().eval()
+        with torch.no_grad():
+            want = model(idx, img)
+        fn, params = from_torch(model)
+        got = fn(params, jnp.asarray(idx.numpy()), jnp.asarray(img.numpy()))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4)
+
+    def test_unsupported_module_raises(self):
+        class Weird(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.p = nn.PixelShuffle(2)
+
+            def forward(self, x):
+                return self.p(x)
+
+        with pytest.raises(NotImplementedError, match="PixelShuffle"):
+            from_torch(Weird())
+
+
+class TestQuantsimOnImportedModel:
+    def test_ptq_end_to_end(self, rng):
+        torch.manual_seed(0)
+        fn, params = _check(SmallConvNet(), torch.randn(2, 3, 16, 16))
+        x = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+        sim = QuantizationSimModel(fn, (params, x))
+        # param quantizers found on conv/linear weights, biases excluded
+        pq = [n for n, s in sim.quantizers.items() if s.kind == "param"]
+        assert len(pq) >= 4
+        data = (jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+                for _ in range(3))
+        sim.compute_encodings(params, data)
+        fp = fn(params, x)
+        q = sim.quantized_fn(params, x)
+        assert np.asarray(q).shape == np.asarray(fp).shape
+        # INT8 sim should track FP closely on this tiny net
+        err = float(jnp.mean((q - fp) ** 2) / (jnp.mean(fp ** 2) + 1e-9))
+        assert err < 0.05
+
+    def test_imported_fn_is_jittable(self, rng):
+        import jax
+        torch.manual_seed(0)
+        fn, params = from_torch(ResidualNet())
+        x = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
+        jfn = jax.jit(fn)
+        np.testing.assert_allclose(np.asarray(jfn(params, x)),
+                                   np.asarray(fn(params, x)), atol=1e-5)
