@@ -244,10 +244,11 @@ def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, nk):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w8a8(x, w_q, w_scale, *, block_m=512, block_n=1024, block_k=512,
+def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=1024, block_k=512,
                 out_dtype=None):
     """Full-int8 path: dynamic per-row activation quant + int8 MXU matmul.
-    Default blocks tuned on v5e at M=1024, K=N=4096 (~280 TF/s)."""
+    Default blocks tuned on v5e at M=1024, K=N=4096 (260 TF/s; sweep:
+    1024x1024x512 = 260 > 512x1024x1024 = 255 > 512x1024x512 = 245)."""
     x_q, x_scale = quantize_activation_per_row(x)
     return matmul_q8(x_q, x_scale, w_q, w_scale, block_m=block_m,
                      block_n=block_n, block_k=block_k,
@@ -256,7 +257,7 @@ def matmul_w8a8(x, w_q, w_scale, *, block_m=512, block_n=1024, block_k=512,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=512, block_n=1024,
+def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=1024, block_n=1024,
               block_k=512, out_dtype=jnp.float32):
     """int8 x int8 -> int32 MXU matmul with per-row x per-channel scale
     epilogue. ``x_q`` already int8 (dynamic path quantizes first; the
@@ -308,6 +309,110 @@ def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=512, block_n=1024,
             allow_input_fusion=[True, False, True, False]),
         interpret=_interpret(),
     )(x_q, w_q, sx, sw)
+    return out[:m0, :N]
+
+
+def matmul_w4a8_xla(x, w_packed, w_scale, out_dtype=None):
+    """Reference: dynamic per-row INT8 activations x split-half INT4 weights
+    via two int8 MXU dots with int32 accumulation."""
+    out_dtype = out_dtype or x.dtype
+    x_q, x_scale = quantize_activation_per_row(x)
+    K2 = w_packed.shape[0]
+    lo = jnp.right_shift(jnp.left_shift(w_packed, 4), 4)
+    hi = jnp.right_shift(w_packed, 4)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    acc = dot(x_q[:, :K2], lo) + dot(x_q[:, K2:], hi)
+    return (acc.astype(jnp.float32)
+            * x_scale[:, None] * w_scale[None, :]).astype(out_dtype)
+
+
+def _w4a8_kernel(xlo_ref, xhi_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref,
+                 *, nk):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[:]
+    lo = (p << 4) >> 4              # int8 arithmetic: sign-extended nibbles
+    hi = p >> 4
+    acc_ref[:] += jax.lax.dot_general(
+        xlo_ref[:], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot_general(
+        xhi_ref[:], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        scaled = acc_ref[:].astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+        out_ref[:] = scaled.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "out_dtype"))
+def matmul_w4a8(x, w_packed, w_scale, *, block_m=512, block_n=1024,
+                block_k=512, out_dtype=None):
+    """W4A8: packed-INT4 weights x dynamically-quantized INT8 activations on
+    the int8 MXU path (int32 accumulation) — the execution target of the
+    reference's AdaRound W4A8 headline config (README.md:155-173), which it
+    only simulates. 4x weight compression AND 2x MXU throughput; per-row x
+    per-channel scale epilogue. ``block_k`` is in packed rows."""
+    out_dtype = out_dtype or x.dtype
+    M, K = x.shape
+    N = w_packed.shape[1]
+    K2 = w_packed.shape[0]
+    x_q, x_scale = quantize_activation_per_row(x)
+    block_m = min(block_m, max(32, M))
+    block_k = min(block_k, -(-K2 // 256) * 256)
+    block_n = min(block_n, -(-N // 128) * 128)
+
+    x_q, m0 = _pad_to(x_q, block_m, 0)
+    x_lo = x_q[:, :K2]
+    x_hi = x_q[:, K2:]
+    x_lo, _ = _pad_to(x_lo, block_k, 1)
+    x_hi, _ = _pad_to(x_hi, block_k, 1)
+    w_packed, _ = _pad_to(w_packed, block_k, 0)
+    w_packed, _ = _pad_to(w_packed, block_n, 1)
+    sx = jnp.reshape(x_scale, (M, 1)).astype(jnp.float32)
+    sx, _ = _pad_to(sx, block_m, 0)
+    sw = jnp.reshape(w_scale, (1, N)).astype(jnp.float32)
+    sw, _ = _pad_to(sw, block_n, 1)
+    Mp = x_lo.shape[0]
+    Kp2 = x_lo.shape[1]
+    Np = w_packed.shape[1]
+    nk = Kp2 // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, nk=nk),
+        grid=(Mp // block_m, Np // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp2 * 2,
+            bytes_accessed=Mp * Kp2 * 2 + Kp2 * Np + Mp * Np * 2,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            allow_input_fusion=[True, True, False, False, False]),
+        interpret=_interpret(),
+    )(x_lo, x_hi, w_packed, sx, sw)
     return out[:m0, :N]
 
 

@@ -31,6 +31,7 @@ from ..graph.connected_graph import ConnectedGraph, Op
 from ..graph.interpreter import evaluate_with_replacements
 from ..ops.int_conv import _patches, conv2d_w4, conv2d_w8
 from ..ops.int_matmul import (matmul_q8, matmul_w4, matmul_w4_xla,
+                              matmul_w4a8, matmul_w4a8_xla,
                               matmul_w8, matmul_w8_xla)
 from ..quantization.affine import AffineEncoding, quantize_to_int
 
@@ -172,15 +173,16 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
         return None
     if ch_axis not in (1, None):
         return None                     # per-in-channel scales don't fold
-    bits = 4 if mode == "w4" else 8
+    bits = 4 if mode in ("w4", "w4a8") else 8
     if enc.bitwidth > bits:
         return None     # e.g. 8-bit encodings can't pack into int4 nibbles
     q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, w.shape[1])
-    if mode == "w4":
+    if mode in ("w4", "w4a8"):
         if q.shape[0] % 2:
             return None
         wq = _pack_int4_split_half(q)
-        mm4 = matmul_w4 if use_pallas else matmul_w4_xla
+        mm4 = (matmul_w4a8 if use_pallas else matmul_w4a8_xla) \
+            if mode == "w4a8" else (matmul_w4 if use_pallas else matmul_w4_xla)
         mm = lambda x2d: mm4(x2d, wq, scale, out_dtype=jnp.float32)
     elif mode == "w8a8" and act_enc is not None:
         mm = _make_static_q8_mm(act_enc, q.astype(jnp.int8), scale,
@@ -218,7 +220,7 @@ def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
     if ch_axis not in (3, None):
         return None
     kh, kw, ci, co = w.shape
-    bits = 4 if mode == "w4" else 8
+    bits = 4 if mode in ("w4", "w4a8") else 8
     if enc.bitwidth > bits:
         return None
     q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, co)
@@ -234,6 +236,17 @@ def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
             x, wq, scale, (kh, kw), strides=strides, padding=padding,
             rhs_dilation=dilation, use_pallas=use_pallas,
             out_dtype=jnp.float32)
+    elif mode == "w4a8":
+        if q2d.shape[0] % 2:
+            return None
+        wq = _pack_int4_split_half(q2d)
+        mm4 = matmul_w4a8 if use_pallas else matmul_w4a8_xla
+
+        def conv(x):
+            p2 = _patches(x, (kh, kw), strides, padding, dilation)
+            B, Ho, Wo, F = p2.shape
+            return mm4(p2.reshape(B * Ho * Wo, F), wq, scale,
+                       out_dtype=jnp.float32).reshape(B, Ho, Wo, -1)
     elif mode == "w8a8" and act_enc is not None:
         mm = _make_static_q8_mm(act_enc, q2d.astype(jnp.int8), scale,
                                 use_pallas=use_pallas)
@@ -267,9 +280,11 @@ def lower_to_int(sim, params, mode: str = "w8",
     (full static INT8: activations quantized with their frozen
     calibration encodings, zero-point corrected int8 MXU matmul; falls
     back to weight-only per-op when no per-tensor 8-bit input encoding
-    is available).
+    is available), or "w4a8" (packed INT4 weights x dynamically-quantized
+    per-row INT8 activations on the int8 MXU path — the true-execution
+    target of the reference's AdaRound W4A8 config, README.md:155-173).
     """
-    assert mode in ("w8", "w4", "w8a8"), mode
+    assert mode in ("w8", "w4", "w8a8", "w4a8"), mode
     if not sim._encodings:
         raise RuntimeError("call compute_encodings first")
     if use_pallas is None:

@@ -8,6 +8,8 @@ import pytest
 from aimet_tpu.ops.int_matmul import (
     matmul_w4,
     matmul_w4_xla,
+    matmul_w4a8,
+    matmul_w4a8_xla,
     matmul_w8,
     matmul_w8_xla,
     matmul_w8a8,
@@ -75,6 +77,18 @@ class TestKernelsVsXla:
         out = matmul_w8a8(x, wq, s, **BLK)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-3, atol=1e-3)
+
+    def test_w4a8(self, xw):
+        x, w = xw
+        wp, s = quantize_weight_int4(w)
+        ref = matmul_w4a8_xla(x, wp, s)
+        out = matmul_w4a8(x, wp, s, **BLK)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+        # and loosely against the float matmul
+        fp = np.asarray(x) @ np.asarray(w)
+        rel = np.mean((np.asarray(out) - fp) ** 2) / np.mean(fp ** 2)
+        assert rel < 0.05  # int4 weight error dominates
 
     def test_w4(self, xw):
         x, w = xw

@@ -63,6 +63,22 @@ class TestLinearLowering:
         rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
         assert rel < 0.05          # INT4 weight-only error
 
+    def test_w4a8_runs_and_close(self, mlp):
+        params, x, batches = mlp
+        sim = QuantizationSimModel(_mlp, (params, x), quant_scheme="minmax",
+                                   default_param_bw=4, default_output_bw=8)
+        sim.compute_encodings(params, iter(batches))
+        lowered = lower_to_int(sim, params, mode="w4a8")
+        assert len(lowered.lowered_ops) == 2
+        ref = _mlp(params, x)
+        out = lowered(params, x)
+        rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert rel < 0.05          # int4 weights + dynamic int8 acts
+        # dynamic-act path must stay close to the weight-only int4 result
+        w4 = lower_to_int(sim, params, mode="w4")(params, x)
+        rel48 = float(jnp.mean((out - w4) ** 2) / jnp.mean(w4 ** 2))
+        assert rel48 < 0.01
+
     def test_jittable(self, mlp):
         params, x, batches = mlp
         sim = QuantizationSimModel(_mlp, (params, x), quant_scheme="minmax")
@@ -164,6 +180,21 @@ class TestStaticW8A8Lowering:
         ref = fn(v, x)
         rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
         assert out.shape == ref.shape and rel < 0.05
+
+    def test_w4a8_conv_runs(self, rng):
+        from aimet_tpu.models.cnn import TinyCNN, init_model
+        model = TinyCNN()
+        v, x = init_model(model, (2, 8, 8, 3))
+        fn = lambda p, x: model.apply(p, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax",
+                                   default_param_bw=4)
+        sim.compute_encodings(v, iter([x]))
+        lowered = lower_to_int(sim, v, mode="w4a8")
+        assert len(lowered.lowered_ops) >= 2
+        out = lowered(v, x)
+        ref = fn(v, x)
+        rel = float(jnp.mean((out - ref) ** 2) / jnp.mean(ref ** 2))
+        assert out.shape == ref.shape and rel < 0.1
 
 
 def test_w4_mode_skips_8bit_encodings(mlp):
