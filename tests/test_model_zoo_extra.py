@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aimet_tpu.models.deeplab import DeepLabV3Tiny
+from aimet_tpu.models.detection import SSDLite, decode_boxes, make_anchors
 from aimet_tpu.models.deepspeech import (
     deepspeech2_apply, init_deepspeech2, quantize_deepspeech2)
 from aimet_tpu.quantsim.qsim import QuantizationSimModel
@@ -90,3 +91,49 @@ def test_deepspeech_odd_mels(rng):
                     jnp.float32)
     out = deepspeech2_apply(params, x)
     assert out.shape == (1, 6, 5)
+
+
+class TestSSDLiteDetection:
+    """ADAS object-detection family (BASELINE row 4: AdaRound W8A8,
+    reference README.md:133-151)."""
+
+    def _setup(self, rng, size=32):
+        model = SSDLite(num_classes=4, anchors_per_cell=2, width=8)
+        x = jnp.asarray(rng.randn(2, size, size, 3).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), x)
+        return model, v, x
+
+    def test_shapes_and_anchor_count(self, rng):
+        model, v, x = self._setup(rng)
+        cls, box = model.apply(v, x)
+        anchors = make_anchors(32, anchors_per_cell=2)
+        assert cls.shape == (2, anchors.shape[0], 4)
+        assert box.shape == (2, anchors.shape[0], 4)
+        decoded = decode_boxes(box, anchors)
+        assert decoded.shape == box.shape
+        assert bool(jnp.all(jnp.isfinite(decoded)))
+
+    def test_adaround_w8a8_beats_nearest(self, rng):
+        from aimet_tpu.algorithms.adaround import (
+            AdaroundParameters, apply_adaround)
+        model, v, x = self._setup(rng)
+        fn = lambda p, x: model.apply(p, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax",
+                                   default_param_bw=8, default_output_bw=8)
+        batches = [jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+                   for _ in range(2)]
+        sim.compute_encodings(v, iter(batches))
+        ref_cls, ref_box = model.apply(v, x)
+
+        q_cls, q_box = sim.quantized_fn(v, x)
+        assert _sqnr_db(ref_cls, q_cls) > 15.0
+
+        ada = AdaroundParameters(num_batches=2, num_iterations=60)
+        new_params = apply_adaround(sim, v, batches, ada)
+        a_cls, a_box = sim.quantized_fn(new_params, x)
+        err_nearest = float(jnp.mean((q_box - ref_box) ** 2)
+                            + jnp.mean((q_cls - ref_cls) ** 2))
+        err_ada = float(jnp.mean((a_box - ref_box) ** 2)
+                        + jnp.mean((a_cls - ref_cls) ** 2))
+        # the W8A8 AdaRound recipe must not regress vs nearest rounding
+        assert err_ada <= err_nearest * 1.05
