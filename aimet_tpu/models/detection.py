@@ -86,7 +86,18 @@ class SSDLite(nn.Module):
 def make_anchors(image_size: int, anchors_per_cell: int = 3,
                  scales: Sequence[int] = (16, 32)) -> np.ndarray:
     """Anchor centers/sizes matching SSDLite's two feature scales:
-    (A, 4) array of (cy, cx, h, w) in [0, 1] image coordinates."""
+    (A, 4) array of (cy, cx, h, w) in [0, 1] image coordinates.
+
+    The backbone's SAME-padded strided convs produce ceil-divided feature
+    maps; the floor division below only matches them when ``image_size`` is
+    a multiple of every stride, so reject sizes that would silently
+    mismatch the heads' anchor dimension."""
+    for stride in scales:
+        if image_size % stride:
+            raise ValueError(
+                f"image_size={image_size} must be divisible by stride "
+                f"{stride} (SAME-padded conv grids ceil-divide; anchors "
+                f"floor-divide)")
     out = []
     for stride in scales:
         g = image_size // stride

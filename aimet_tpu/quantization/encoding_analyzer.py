@@ -473,6 +473,13 @@ def _optimize_kl(hist, hist_min, hist_max, bitwidth, symmetric, strict, unsigned
     num_bins = hist.size
     nqb = 255
     if num_bins == 0 or num_bins < nqb or bitwidth != 8:
+        if bitwidth != 8 and num_bins:
+            import warnings
+            warnings.warn(
+                f"entropy (KL) calibration only optimizes at bitwidth=8 "
+                f"(reference: EntropyEncodingAnalyzer.cpp quantized-bin "
+                f"count is fixed at 255); bitwidth={bitwidth} falls back "
+                f"to the full observed range", stacklevel=3)
         return hist_min, hist_max
 
     bin_w = (hist_max - hist_min) / num_bins

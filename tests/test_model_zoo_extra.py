@@ -136,4 +136,5 @@ class TestSSDLiteDetection:
         err_ada = float(jnp.mean((a_box - ref_box) ** 2)
                         + jnp.mean((a_cls - ref_cls) ** 2))
         # the W8A8 AdaRound recipe must not regress vs nearest rounding
-        assert err_ada <= err_nearest * 1.05
+        # (deterministic seeded run: require it to actually not be worse)
+        assert err_ada <= err_nearest
