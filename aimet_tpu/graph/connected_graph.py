@@ -18,6 +18,17 @@ reconstruct module-level ops by dataflow classification + peephole grouping:
   - shape-only ops (reshape/transpose/broadcast/...) are pass-through and
     never receive quantizers.
 
+Control flow (new in round 2, closing the reference's recurrent coverage —
+qc_quantize_recurrent.py:122-880): ``lax.scan`` / ``lax.while_loop`` /
+``lax.cond`` body jaxprs are recursively built into *inner ops* whose names
+are prefixed by the enclosing op (``scan_0/linear_1``).  The quantsim
+interpreter threads observer state through the loop carry so per-timestep
+quantizers calibrate inside one fused XLA loop.  ``pjit`` / ``closed_call``
+/ ``remat`` bodies are inlined transparently into the enclosing scope (they
+have no loop semantics), and a ``custom_jvp/vjp`` whose body hides a
+conv/dot is inlined as well (with the caveat that the custom derivative rule
+is replaced by differentiation through the primal body).
+
 The result is a graph whose ops correspond 1:1 with the reference's wrapped
 modules, which is what the quantsim config system (supergroups, op_type
 rules) pattern-matches against.
@@ -45,6 +56,15 @@ ELEMENTWISE_PRIMS = {"add", "sub", "mul", "div", "max", "min"}
 # Raw-primitive activations.
 ACT_PRIMS = {"tanh": "tanh", "logistic": "sigmoid", "exp": "exp"}
 
+# Call-like primitives whose bodies are inlined into the enclosing scope.
+CALL_PRIMS = {"jit", "pjit", "closed_call", "core_call", "remat", "checkpoint"}
+
+# Control-flow primitives whose bodies become nested sub-graphs.
+LOOP_PRIMS = {"scan", "while", "cond"}
+
+# Primitives that demand quantsim interception when hidden in a sub-jaxpr.
+QUANTIZABLE_PRIMS = {"conv_general_dilated", "dot_general"}
+
 
 @dataclasses.dataclass
 class Product:
@@ -71,6 +91,7 @@ class Op:
     output: Product                        # primary data output
     param_products: Dict[str, Product] = dataclasses.field(default_factory=dict)
     attrs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    scope: Optional[str] = None            # enclosing scan/while/cond op name
 
     @property
     def input_ops(self) -> List["Op"]:
@@ -89,15 +110,17 @@ def _flat_prims(jaxpr, out=None):
     if out is None:
         out = []
     for e in jaxpr.eqns:
-        desc = None
-        for key in ("call_jaxpr", "jaxpr"):
+        descended = False
+        for key in ("call_jaxpr", "jaxpr", "cond_jaxpr", "body_jaxpr"):
             ij = e.params.get(key) if hasattr(e, "params") else None
             if ij is not None:
-                desc = ij.jaxpr if hasattr(ij, "jaxpr") else ij
-                break
-        if desc is not None:
-            _flat_prims(desc, out)
-        else:
+                _flat_prims(ij.jaxpr if hasattr(ij, "jaxpr") else ij, out)
+                descended = True
+        if hasattr(e, "params") and "branches" in e.params:
+            for b in e.params["branches"]:
+                _flat_prims(b.jaxpr if hasattr(b, "jaxpr") else b, out)
+            descended = True
+        if not descended:
             out.append(e.primitive.name)
     return out
 
@@ -124,6 +147,22 @@ def _classify_custom_jvp(eqn) -> str:
     if pset <= {"abs", "add", "div", "mul", "sub"}:
         return "softsign"
     return "custom_jvp"
+
+
+def _call_body(eqn):
+    """(jaxpr, consts) of a call-like eqn's body, or None."""
+    name = eqn.primitive.name
+    if name in ("custom_jvp_call", "custom_vjp_call"):
+        closed = eqn.params["call_jaxpr"]
+        return closed.jaxpr, closed.consts
+    if name in ("jit", "pjit", "closed_call", "core_call"):
+        closed = eqn.params["jaxpr"]
+        if hasattr(closed, "jaxpr"):
+            return closed.jaxpr, closed.consts
+        return closed, []
+    if name in ("remat", "checkpoint"):
+        return eqn.params["jaxpr"], []
+    return None
 
 
 class ConnectedGraph:
@@ -171,110 +210,414 @@ class ConnectedGraph:
         self._build()
 
     # ------------------------------------------------------------------
+    # Shared-state helpers (used across nested scopes)
+    # ------------------------------------------------------------------
+    def _is_param_only(self, v):
+        return not hasattr(v, "aval") or isinstance(v, Literal) \
+            or self._param_only.get(id(v), False)
+
+    def _roots_of(self, v):
+        if isinstance(v, Literal):
+            return set()
+        return self._param_roots.get(id(v), set())
+
+    def resolve_var(self, v):
+        """Follow pass-through aliases to the semantic var."""
+        while id(v) in self.alias:
+            v = self.alias[id(v)]
+        return v
+
+    def _get_product(self, v, kind_hint="activation"):
+        v = self.resolve_var(v)
+        if id(v) not in self.products:
+            self.products[id(v)] = Product(
+                var=v, name=f"act_{len(self.products)}",
+                shape=tuple(v.aval.shape), dtype=v.aval.dtype,
+                kind=kind_hint)
+        return self.products[id(v)]
+
+    def _direct_param_leaf(self, v):
+        """If v is a (chain of) reshape/broadcast of a single param invar
+        (possibly across a scan/while const or xs boundary), return that
+        param Product, else None."""
+        seen = 0
+        while True:
+            if id(v) in self.param_var_paths:
+                return self.products[id(v)]
+            if id(v) in self._invar_link:
+                v = self._invar_link[id(v)]
+                continue
+            e = self._producer_eqn.get(id(v))
+            if e is None or e.primitive.name not in PASSTHROUGH_PRIMS:
+                return None
+            v = e.invars[0]
+            seen += 1
+            if seen > 6:
+                return None
+
+    def _new_op(self, op_type, eqns, data_in_vars, out_var, counters,
+                prefix, params=None, attrs=None):
+        n = counters.get(op_type, 0)
+        counters[op_type] = n + 1
+        inputs = [self._get_product(v) for v in data_in_vars
+                  if not isinstance(v, Literal)]
+        out_p = self._get_product(out_var)
+        op = Op(index=len(self.ops), type=op_type,
+                name=f"{prefix}{op_type}_{n}",
+                eqns=list(eqns), inputs=inputs, output=out_p,
+                param_products=params or {}, attrs=attrs or {},
+                scope=self._scope_stack[-1] if self._scope_stack else None)
+        out_p.producer = op
+        out_p.name = f"{op.name}.out"
+        for p in inputs:
+            p.consumers.append(op)
+        self.ops.append(op)
+        for sink in self._sink_stack:
+            sink.append(op)
+        return op
+
+    # ------------------------------------------------------------------
     def _build(self):
         jaxpr = self.jaxpr
-        # 1. dataflow classification: param-derived vars
-        param_only: Dict[int, bool] = {}
-        # roots of each param-derived var (set of param paths)
-        param_roots: Dict[int, set] = {}
+        self._param_only: Dict[int, bool] = {}
+        self._param_roots: Dict[int, set] = {}
+        self._producer_eqn: Dict[int, Any] = {}
+        self._invar_link: Dict[int, Any] = {}  # body invar -> outer var
+        self.alias: Dict[int, Any] = {}
+        self.ops: List[Op] = []
+        self._consumed: set = set()
+        self._scope_stack: List[str] = []
+        self._sink_stack: List[List[Op]] = []
+        # id(eqn) -> {"kind": 'scan'|'while'|'cond'|'call', "inner_ops": [...]}
+        self.subgraph_eqns: Dict[int, Dict[str, Any]] = {}
+        # JAX caches traced sub-jaxprs: two call sites of e.g. jax.nn.silu
+        # share ONE body jaxpr object.  Each body is classified/built once;
+        # later sites reuse its inner ops, i.e. the sites SHARE quantizers —
+        # the reference behaves identically when a module instance is
+        # reused (its wrapper's quantizers see every call site).
+        self._classified_bodies: set = set()
+        self._built_bodies: Dict[int, List[Op]] = {}
+
         for var in jaxpr.invars:
             is_p = id(var) in self.param_var_paths
-            param_only[id(var)] = is_p
-            param_roots[id(var)] = {self.param_var_paths[id(var)]} if is_p else set()
+            self._param_only[id(var)] = is_p
+            self._param_roots[id(var)] = (
+                {self.param_var_paths[id(var)]} if is_p else set())
         for var in jaxpr.constvars:
-            param_only[id(var)] = True
-            param_roots[id(var)] = set()
+            self._param_only[id(var)] = True
+            self._param_roots[id(var)] = set()
 
-        def is_param_only(v):
-            return not hasattr(v, "aval") or isinstance(v, Literal) \
-                or param_only.get(id(v), False)
+        self._classify_scope(jaxpr)
+        self._build_scope(jaxpr, prefix="", counters={})
 
-        def roots_of(v):
-            if isinstance(v, Literal):
-                return set()
-            return param_roots.get(id(v), set())
+        # mark model outputs
+        out_ids = {id(self.resolve_var(v)) for v in jaxpr.outvars
+                   if not isinstance(v, Literal)}
+        for p in self.products.values():
+            if id(p.var) in out_ids:
+                p.is_model_output = True
 
+    def _classify_eqn(self, eqn):
+        all_param = all(self._is_param_only(v) for v in eqn.invars)
+        roots = set()
+        for v in eqn.invars:
+            if self._is_param_only(v):
+                roots |= self._roots_of(v)
+        for ov in eqn.outvars:
+            if isinstance(ov, Literal):
+                continue
+            self._param_only[id(ov)] = all_param
+            self._param_roots[id(ov)] = roots
+
+    def _classify_scope(self, jaxpr):
+        """Classification prepass over one scope (recursing into bodies) —
+        runs to completion before any building, because the peephole
+        grouping (BN affine chains, bias folds) looks *ahead* at later
+        eqns' operand classes."""
         for eqn in jaxpr.eqns:
-            all_param = all(is_param_only(v) for v in eqn.invars)
-            roots = set()
-            for v in eqn.invars:
-                if is_param_only(v):
-                    roots |= roots_of(v)
-            for ov in eqn.outvars:
-                param_only[id(ov)] = all_param
-                param_roots[id(ov)] = roots
+            prim = eqn.primitive.name
+            self._classify_eqn(eqn)
+            if prim in LOOP_PRIMS:
+                if all(self._is_param_only(v) for v in eqn.invars):
+                    continue  # pure param-preprocessing loop: never built
+                if prim == "scan":
+                    closed = eqn.params["jaxpr"]
+                    if not self._mark_classified(closed.jaxpr):
+                        continue
+                    nc = eqn.params["num_consts"]
+                    nk = eqn.params["num_carry"]
+                    for i, bv in enumerate(closed.jaxpr.invars):
+                        self._seed_body_invar(bv, eqn.invars[i],
+                                              as_data=nc <= i < nc + nk)
+                    self._seed_constvars(closed.jaxpr)
+                    self._classify_scope(closed.jaxpr)
+                elif prim == "while":
+                    bj = eqn.params["body_jaxpr"]
+                    if not self._mark_classified(bj.jaxpr):
+                        continue
+                    cn = eqn.params["cond_nconsts"]
+                    bn = eqn.params["body_nconsts"]
+                    for i, bv in enumerate(bj.jaxpr.invars):
+                        self._seed_body_invar(bv, eqn.invars[cn + i],
+                                              as_data=(i >= bn))
+                    self._seed_constvars(bj.jaxpr)
+                    self._classify_scope(bj.jaxpr)
+                else:  # cond
+                    for closed in eqn.params["branches"]:
+                        if not self._mark_classified(closed.jaxpr):
+                            continue
+                        for bv, ov in zip(closed.jaxpr.invars,
+                                          eqn.invars[1:]):
+                            self._seed_body_invar(bv, ov)
+                        self._seed_constvars(closed.jaxpr)
+                        self._classify_scope(closed.jaxpr)
+                continue
+            body_consts = _call_body(eqn)
+            if body_consts is None:
+                continue
+            body, _ = body_consts
+            if prim in ("custom_jvp_call", "custom_vjp_call") \
+                    and not (set(_flat_prims(body)) & QUANTIZABLE_PRIMS):
+                continue  # classified as an activation op, not inlined
+            if self._mark_classified(body):
+                for bv, ov in zip(body.invars, eqn.invars):
+                    self._seed_body_invar(bv, ov)
+                self._seed_constvars(body)
+                self._classify_scope(body)
+            for ov, bv in zip(eqn.outvars, body.outvars):
+                if isinstance(ov, Literal):
+                    continue
+                if isinstance(bv, Literal):
+                    self._param_only[id(ov)] = True
+                    self._param_roots[id(ov)] = set()
+                else:
+                    self._param_only[id(ov)] = self._param_only.get(
+                        id(bv), False)
+                    self._param_roots[id(ov)] = self._roots_of(bv)
 
-        self._param_only = param_only
-        self._param_roots = param_roots
+    def _seed_body_invar(self, body_var, outer_var, as_data=False):
+        """Classify a sub-jaxpr invar from the outer operand feeding it."""
+        if isinstance(outer_var, Literal):
+            self._param_only[id(body_var)] = True
+            self._param_roots[id(body_var)] = set()
+            return
+        self._invar_link[id(body_var)] = outer_var
+        if as_data:
+            self._param_only[id(body_var)] = False
+            self._param_roots[id(body_var)] = set()
+        else:
+            self._param_only[id(body_var)] = self._param_only.get(
+                id(outer_var), False)
+            self._param_roots[id(body_var)] = self._roots_of(outer_var)
 
-        # producer eqn of each var
-        producer_eqn: Dict[int, Any] = {}
-        for e in jaxpr.eqns:
-            for ov in e.outvars:
-                producer_eqn[id(ov)] = e
+    def _seed_constvars(self, body):
+        for cv in body.constvars:
+            self._param_only[id(cv)] = True
+            self._param_roots[id(cv)] = set()
 
-        # 3. grouping: assemble module-level ops
-        ops: List[Op] = []
-        consumed = set()  # ids of eqns folded into a previous group
-        # pass-through var aliasing: var -> underlying "semantic" var
-        alias: Dict[int, Any] = {}
+    def _mark_classified(self, body) -> bool:
+        """True if this body jaxpr still needs classification (first site)."""
+        if id(body) in self._classified_bodies:
+            return False
+        self._classified_bodies.add(id(body))
+        return True
 
-        def resolve(v):
-            while id(v) in alias:
-                v = alias[id(v)]
-            return v
+    def _inline_call(self, eqn, prefix, counters):
+        """Inline a call-like eqn's body into the current scope."""
+        body, _consts = _call_body(eqn)
+        existing = self._built_bodies.get(id(body))
+        if existing is not None:
+            # shared traced body (JAX jaxpr caching): reuse the first
+            # site's inner ops — the call sites share quantizers, exactly
+            # like the reference's reused-module wrappers
+            self.subgraph_eqns[id(eqn)] = {"kind": "call",
+                                           "inner_ops": existing}
+            for sink in self._sink_stack:
+                sink.extend(existing)
+            for ov, bv in zip(eqn.outvars, body.outvars):
+                if isinstance(bv, Literal):
+                    self._param_only[id(ov)] = True
+                    self._param_roots[id(ov)] = set()
+                else:
+                    self._param_only[id(ov)] = self._param_only.get(
+                        id(bv), False)
+                    self._param_roots[id(ov)] = self._roots_of(bv)
+            return
+        for bv, ov in zip(body.invars, eqn.invars):
+            if isinstance(ov, Literal):
+                self._param_only[id(bv)] = True
+                self._param_roots[id(bv)] = set()
+            else:
+                # exact value correspondence: alias for product unification
+                self.alias[id(bv)] = ov
+                self._param_only[id(bv)] = self._param_only.get(id(ov), False)
+                self._param_roots[id(bv)] = self._roots_of(ov)
+        self._seed_constvars(body)
+        inner_ops: List[Op] = []
+        self._sink_stack.append(inner_ops)
+        try:
+            self._build_scope(body, prefix=prefix, counters=counters)
+        finally:
+            self._sink_stack.pop()
+        # alias outer outvars to the body's outputs + refine classification
+        for ov, bv in zip(eqn.outvars, body.outvars):
+            if isinstance(bv, Literal):
+                self._param_only[id(ov)] = True
+                self._param_roots[id(ov)] = set()
+            else:
+                self.alias[id(ov)] = bv
+                self._param_only[id(ov)] = self._param_only.get(id(bv), False)
+                self._param_roots[id(ov)] = self._roots_of(bv)
+        self.subgraph_eqns[id(eqn)] = {"kind": "call", "inner_ops": inner_ops}
+        self._built_bodies[id(body)] = inner_ops
 
-        def get_product(v, kind_hint="activation"):
-            v = resolve(v)
-            if id(v) not in self.products:
-                self.products[id(v)] = Product(
-                    var=v, name=f"act_{len(self.products)}",
-                    shape=tuple(v.aval.shape), dtype=v.aval.dtype,
-                    kind=kind_hint)
-            return self.products[id(v)]
+    def _build_subgraph(self, body, op_name, counters_key=None):
+        """Recursively build ops for a control-flow body jaxpr.  A body
+        already built at another call site is reused (shared quantizers —
+        the reference's grouped recurrent quantizers across layers,
+        qc_quantize_recurrent.py:191-204, behave the same way)."""
+        existing = self._built_bodies.get(id(body))
+        if existing is not None:
+            for sink in self._sink_stack:
+                sink.extend(existing)
+            return existing
+        inner_ops: List[Op] = []
+        self._scope_stack.append(op_name)
+        self._sink_stack.append(inner_ops)
+        try:
+            self._build_scope(body, prefix=op_name + "/", counters={})
+        finally:
+            self._sink_stack.pop()
+            self._scope_stack.pop()
+        self._built_bodies[id(body)] = inner_ops
+        return inner_ops
 
-        type_counters: Dict[str, int] = {}
+    def _handle_scan(self, eqn, prefix, counters):
+        closed = eqn.params["jaxpr"]
+        body = closed.jaxpr
+        nconsts = eqn.params["num_consts"]
+        ncarry = eqn.params["num_carry"]
+        n = counters.get("scan", 0)
+        counters["scan"] = n + 1
+        op_name = f"{prefix}scan_{n}"
 
-        def new_op(op_type, eqns, data_in_vars, out_var, params=None, attrs=None):
-            n = type_counters.get(op_type, 0)
-            type_counters[op_type] = n + 1
-            inputs = [get_product(v) for v in data_in_vars
-                      if not isinstance(v, Literal)]
-            out_p = get_product(out_var)
-            op = Op(index=len(ops), type=op_type, name=f"{op_type}_{n}",
-                    eqns=list(eqns), inputs=inputs, output=out_p,
-                    param_products=params or {}, attrs=attrs or {})
-            out_p.producer = op
-            out_p.name = f"{op.name}.out"
-            for p in inputs:
-                p.consumers.append(op)
-            ops.append(op)
-            return op
+        for i, bv in enumerate(body.invars):
+            ov = eqn.invars[i]
+            is_carry = nconsts <= i < nconsts + ncarry
+            self._seed_body_invar(bv, ov, as_data=is_carry)
+        self._seed_constvars(closed)
 
-        def direct_param_leaf(v):
-            """If v is a (chain of) reshape/broadcast of a single param invar,
-            return that param Product, else None."""
-            seen = 0
-            while True:
-                if id(v) in self.param_var_paths:
-                    return self.products[id(v)]
-                e = producer_eqn.get(id(v))
-                if e is None or e.primitive.name not in PASSTHROUGH_PRIMS:
-                    return None
-                v = e.invars[0]
-                seen += 1
-                if seen > 4:
-                    return None
+        inner_ops = self._build_subgraph(body, op_name)
+        self.subgraph_eqns[id(eqn)] = {"kind": "scan", "inner_ops": inner_ops}
 
+        data_ins = [v for v in eqn.invars
+                    if not isinstance(v, Literal) and not self._is_param_only(v)]
+        outvars = eqn.outvars
+        primary = outvars[ncarry] if len(outvars) > ncarry else outvars[0]
+        op = Op(index=len(self.ops), type="scan", name=op_name,
+                eqns=[eqn],
+                inputs=[self._get_product(v) for v in data_ins],
+                output=self._get_product(primary),
+                attrs={"num_consts": nconsts, "num_carry": ncarry,
+                       "length": eqn.params["length"],
+                       "reverse": eqn.params["reverse"]},
+                scope=self._scope_stack[-1] if self._scope_stack else None)
+        op.output.producer = op
+        op.output.name = f"{op_name}.out"
+        for p in op.inputs:
+            p.consumers.append(op)
+        self.ops.append(op)
+        for sink in self._sink_stack:
+            sink.append(op)
+
+    def _handle_while(self, eqn, prefix, counters):
+        cj = eqn.params["cond_jaxpr"]
+        bj = eqn.params["body_jaxpr"]
+        cn = eqn.params["cond_nconsts"]
+        bn = eqn.params["body_nconsts"]
+        if set(_flat_prims(cj.jaxpr)) & QUANTIZABLE_PRIMS:
+            raise NotImplementedError(
+                "quantsim: a lax.while_loop *condition* jaxpr contains "
+                "conv/dot primitives — quantizer interception inside while "
+                "conditions is not supported; move the compute into the body")
+        n = counters.get("while", 0)
+        counters["while"] = n + 1
+        op_name = f"{prefix}while_{n}"
+
+        body = bj.jaxpr
+        for i, bv in enumerate(body.invars):
+            # body invars = [body consts (bn), carry]; both map contiguously
+            # onto eqn.invars starting after the cond consts
+            self._seed_body_invar(bv, eqn.invars[cn + i], as_data=(i >= bn))
+        self._seed_constvars(bj)
+
+        inner_ops = self._build_subgraph(body, op_name)
+        self.subgraph_eqns[id(eqn)] = {"kind": "while", "inner_ops": inner_ops}
+
+        data_ins = [v for v in eqn.invars[cn + bn:]
+                    if not isinstance(v, Literal) and not self._is_param_only(v)]
+        primary = eqn.outvars[0]
+        op = Op(index=len(self.ops), type="while", name=op_name, eqns=[eqn],
+                inputs=[self._get_product(v) for v in data_ins],
+                output=self._get_product(primary),
+                attrs={"cond_nconsts": cn, "body_nconsts": bn},
+                scope=self._scope_stack[-1] if self._scope_stack else None)
+        op.output.producer = op
+        op.output.name = f"{op_name}.out"
+        for p in op.inputs:
+            p.consumers.append(op)
+        self.ops.append(op)
+        for sink in self._sink_stack:
+            sink.append(op)
+
+    def _handle_cond(self, eqn, prefix, counters):
+        branches = eqn.params["branches"]
+        n = counters.get("cond", 0)
+        counters["cond"] = n + 1
+        op_name = f"{prefix}cond_{n}"
+
+        inner_ops: List[Op] = []
+        for bi, closed in enumerate(branches):
+            body = closed.jaxpr
+            for bv, ov in zip(body.invars, eqn.invars[1:]):
+                self._seed_body_invar(bv, ov)
+            self._seed_constvars(closed)
+            inner_ops.extend(self._build_subgraph(body, f"{op_name}/b{bi}"))
+        self.subgraph_eqns[id(eqn)] = {"kind": "cond", "inner_ops": inner_ops}
+
+        data_ins = [v for v in eqn.invars[1:]
+                    if not isinstance(v, Literal) and not self._is_param_only(v)]
+        primary = eqn.outvars[0]
+        op = Op(index=len(self.ops), type="cond", name=op_name, eqns=[eqn],
+                inputs=[self._get_product(v) for v in data_ins],
+                output=self._get_product(primary), attrs={},
+                scope=self._scope_stack[-1] if self._scope_stack else None)
+        op.output.producer = op
+        op.output.name = f"{op_name}.out"
+        for p in op.inputs:
+            p.consumers.append(op)
+        self.ops.append(op)
+        for sink in self._sink_stack:
+            sink.append(op)
+
+    # ------------------------------------------------------------------
+    def _build_scope(self, jaxpr, prefix: str, counters: Dict[str, int]):
+        """Classify + build ops for one jaxpr scope (fused forward pass)."""
         eqn_list = list(jaxpr.eqns)
+        for e in eqn_list:
+            for ov in e.outvars:
+                if not isinstance(ov, Literal):
+                    self._producer_eqn[id(ov)] = e
         id_to_pos = {id(e): k for k, e in enumerate(eqn_list)}
+        consumed = self._consumed
+        resolve = self.resolve_var
 
         # Softmax prescan: group the 5-eqn jax.nn.softmax tail before the main
         # loop so its interior eqns never become standalone ops.
         softmax_groups: Dict[int, tuple] = {}
         for eqn in eqn_list:
             if eqn.primitive.name == "div":
-                sm = self._match_softmax(eqn, producer_eqn, resolve)
+                sm = self._match_softmax(eqn, self._producer_eqn, resolve)
                 if sm is not None:
                     group_eqns, src_var = sm
                     softmax_groups[id(eqn)] = (group_eqns, src_var)
@@ -282,16 +625,42 @@ class ConnectedGraph:
                         if ge is not eqn:
                             consumed.add(id(ge))
 
+        def new_op(op_type, eqns, data_in_vars, out_var, params=None, attrs=None):
+            return self._new_op(op_type, eqns, data_in_vars, out_var,
+                                counters, prefix, params, attrs)
+
+        param_only = self._param_only
+        direct_param_leaf = self._direct_param_leaf
+        roots_of = self._roots_of
+
         for eqn in eqn_list:
+            prim = eqn.primitive.name
+            is_call = _call_body(eqn) is not None
+            is_loop = prim in LOOP_PRIMS
+
             if id(eqn) in consumed:
                 continue
-            prim = eqn.primitive.name
-            # skip param-preprocessing
-            if all(param_only.get(id(ov), False) for ov in eqn.outvars):
+            # skip param-preprocessing (incl. whole param-only sub-jaxprs)
+            if eqn.outvars and all(
+                    isinstance(ov, Literal) or param_only.get(id(ov), False)
+                    for ov in eqn.outvars):
                 continue
 
             if prim in PASSTHROUGH_PRIMS:
-                alias[id(eqn.outvars[0])] = eqn.invars[0]
+                self.alias[id(eqn.outvars[0])] = eqn.invars[0]
+                continue
+
+            if is_loop:
+                if prim == "scan":
+                    self._handle_scan(eqn, prefix, counters)
+                elif prim == "while":
+                    self._handle_while(eqn, prefix, counters)
+                else:
+                    self._handle_cond(eqn, prefix, counters)
+                continue
+
+            if is_call and prim not in ("custom_jvp_call", "custom_vjp_call"):
+                self._inline_call(eqn, prefix, counters)
                 continue
 
             if prim == "conv_general_dilated":
@@ -317,9 +686,16 @@ class ConnectedGraph:
                          "window_strides": eqn.params["window_strides"],
                          "padding": eqn.params["padding"],
                          "feature_group_count": eqn.params.get("feature_group_count", 1),
+                         "lhs_dilation": eqn.params.get("lhs_dilation"),
+                         "rhs_dilation": eqn.params.get("rhs_dilation"),
                          "lhs_shape": tuple(eqn.invars[0].aval.shape)}
-                op_type = ("depthwise_conv"
-                           if eqn.params.get("feature_group_count", 1) > 1 else "conv")
+                lhs_dil = eqn.params.get("lhs_dilation")
+                if lhs_dil is not None and any(d > 1 for d in lhs_dil):
+                    op_type = "conv_transpose"
+                elif eqn.params.get("feature_group_count", 1) > 1:
+                    op_type = "depthwise_conv"
+                else:
+                    op_type = "conv"
                 new_op(op_type, grouped, [eqn.invars[0]], out_var, params, attrs)
                 continue
 
@@ -410,7 +786,14 @@ class ConnectedGraph:
                 new_op(op_type, [eqn], data_ins, eqn.outvars[0])
                 continue
 
-            if prim == "custom_jvp_call":
+            if prim in ("custom_jvp_call", "custom_vjp_call"):
+                body, _ = _call_body(eqn)
+                if set(_flat_prims(body)) & QUANTIZABLE_PRIMS:
+                    # conv/dot hidden behind a custom derivative: inline so
+                    # quantizers reach it (the custom rule is replaced by
+                    # differentiation through the primal body)
+                    self._inline_call(eqn, prefix, counters)
+                    continue
                 op_type = _classify_custom_jvp(eqn)
                 new_op(op_type, [eqn], list(eqn.invars), eqn.outvars[0])
                 continue
@@ -473,15 +856,6 @@ class ConnectedGraph:
             new_op(prim, [eqn], [v for v in eqn.invars
                                  if not isinstance(v, Literal)],
                    eqn.outvars[0])
-
-        self.ops = ops
-        self.alias = alias
-        # mark model outputs
-        out_ids = {id(resolve(v)) for v in jaxpr.outvars
-                   if not isinstance(v, Literal)}
-        for p in self.products.values():
-            if id(p.var) in out_ids:
-                p.is_model_output = True
 
     # ------------------------------------------------------------------
     def _find_invar(self, path):
@@ -548,12 +922,6 @@ class ConnectedGraph:
         return group, src
 
     # ------------------------------------------------------------------
-    def resolve_var(self, v):
-        """Follow pass-through aliases to the semantic var."""
-        while id(v) in self.alias:
-            v = self.alias[id(v)]
-        return v
-
     def get_op(self, name: str) -> Op:
         for op in self.ops:
             if op.name == name:

@@ -97,6 +97,24 @@ def deepspeech2_apply(params: Dict, x: jax.Array) -> jax.Array:
     return jax.nn.log_softmax(logits, axis=-1)
 
 
+def quantsim_deepspeech2(params: Dict, seq_batches: List[jax.Array], **kw):
+    """Quantize DeepSpeech2 through the ONE QuantizationSimModel API: the
+    bi-LSTM ``lax.scan`` time loops are intercepted by the quantsim (round-2
+    control-flow support), so per-timestep hidden/cell-path quantizers
+    calibrate inside ``sim.compute_encodings`` and appear in
+    ``sim.export_encodings()`` — the reference reaches the same point via
+    module wrapping (qc_quantize_recurrent.py:122-880 +
+    lib_changes/aimet_torch/quantsim.py:88-89).
+
+    Returns the calibrated sim; use ``sim.quantized_fn`` /
+    ``sim.qat_fn()`` for recurrent INT8 QAT (README.md:176-196 row)."""
+    from ..quantsim.qsim import QuantizationSimModel
+    sim = QuantizationSimModel(deepspeech2_apply, (params, seq_batches[0]),
+                               **kw)
+    sim.compute_encodings(params, iter(seq_batches))
+    return sim
+
+
 def quantize_deepspeech2(params: Dict, seq_batches: List[jax.Array],
                          spec=None) -> Tuple:
     """INT8 recurrent quantsim over the full model: each bi-LSTM direction

@@ -102,10 +102,13 @@ class QuantSimConfig:
     model_input_quantized: bool = True
     model_output_quantized: bool = False  # extra output-quantizer on final op
 
-    # op types that never get an output quantizer regardless of defaults
+    # op types that never get an output quantizer regardless of defaults.
+    # scan/while/cond: their stacked/final outputs are already quantized by
+    # the per-timestep quantizers inside the body; split: gates are slices
+    # of an already-quantized pre-activation.
     never_quantized_types: Tuple[str, ...] = (
         "mean", "gather", "reduce_sum", "reduce_max", "reduce_min",
-        "window_sum", "cast", "dropout")
+        "window_sum", "cast", "dropout", "scan", "while", "cond", "split")
 
     @classmethod
     def default(cls) -> "QuantSimConfig":

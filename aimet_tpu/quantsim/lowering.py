@@ -29,7 +29,6 @@ from jax import tree_util as jtu
 
 from ..graph.connected_graph import ConnectedGraph, Op
 from ..graph.interpreter import evaluate_with_replacements
-from ..ops.int_conv import _patches, conv2d_w4, conv2d_w8
 from ..ops.int_matmul import (matmul_q8, matmul_w4, matmul_w4_xla,
                               matmul_w4a8, matmul_w4a8_xla,
                               matmul_w8, matmul_w8_xla)
@@ -47,6 +46,13 @@ class LoweredModel:
     # per-tensor 8-bit input-activation encoding) — surfaced so the user
     # can tell what actually lowered (VERDICT r1 weak #5)
     downgraded_ops: List[str] = dataclasses.field(default_factory=list)
+    flops_lowered: int = 0
+    flops_total: int = 0
+
+    @property
+    def int_flops_fraction(self) -> float:
+        """Fraction of conv/linear FLOPs executing on INT kernels."""
+        return self.flops_lowered / self.flops_total if self.flops_total else 0.0
 
     def __call__(self, params, *args):
         return evaluate_with_replacements(
@@ -210,61 +216,64 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
 
 def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
                 act_enc=None):
+    """Lower a conv / depthwise_conv / conv_transpose to the direct int-conv
+    path (ops/int_conv.py round-2 kernels): XLA int8 implicit GEMM for
+    a8 modes, inline-dequant INT-resident weights for weight-only modes.
+    No im2col — activation traffic stays 1 byte (a8) / native (weight-only).
+    """
+    from ..ops.int_conv import (conv2d_int8_static, conv2d_w8a8_dynamic,
+                                conv2d_weight_only, pack_int4_conv_co)
     eqn = op.eqns[0]
     p = eqn.params
-    if p.get("feature_group_count", 1) != 1 or w.ndim != 4:
+    if w.ndim != 4:
         return None
     dn = p["dimension_numbers"]
     # require NHWC / HWIO / NHWC (the flax default)
     if (tuple(dn.lhs_spec), tuple(dn.rhs_spec), tuple(dn.out_spec)) != \
             ((0, 3, 1, 2), (3, 2, 0, 1), (0, 3, 1, 2)):
         return None
-    if tuple(p.get("lhs_dilation", (1, 1))) != (1, 1):
-        return None
     if ch_axis not in (3, None):
         return None
-    kh, kw, ci, co = w.shape
+    groups = p.get("feature_group_count", 1)
+    kh, kw, cig, co = w.shape
     bits = 4 if mode in ("w4", "w4a8") else 8
     if enc.bitwidth > bits:
         return None
+    padding = tuple(tuple(pp) for pp in p["padding"])
+    if any(v < 0 for pair in padding for v in pair):
+        return None  # negative padding: stay on the float path
+    conv_kw = dict(
+        strides=tuple(p["window_strides"]), padding=padding,
+        feature_group_count=groups,
+        lhs_dilation=tuple(p.get("lhs_dilation") or (1, 1)),
+        rhs_dilation=tuple(p.get("rhs_dilation") or (1, 1)))
     q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, co)
-    q2d = jnp.transpose(q, (2, 0, 1, 3)).reshape(ci * kh * kw, co)
-    strides = tuple(p["window_strides"])
-    padding = [tuple(pp) for pp in p["padding"]]
-    dilation = tuple(p.get("rhs_dilation", (1, 1)))
-    if mode == "w4":
-        if q2d.shape[0] % 2:
-            return None
-        wq = _pack_int4_split_half(q2d)
-        conv = lambda x: conv2d_w4(
-            x, wq, scale, (kh, kw), strides=strides, padding=padding,
-            rhs_dilation=dilation, use_pallas=use_pallas,
-            out_dtype=jnp.float32)
-    elif mode == "w4a8":
-        if q2d.shape[0] % 2:
-            return None
-        wq = _pack_int4_split_half(q2d)
-        mm4 = matmul_w4a8 if use_pallas else matmul_w4a8_xla
 
-        def conv(x):
-            p2 = _patches(x, (kh, kw), strides, padding, dilation)
-            B, Ho, Wo, F = p2.shape
-            return mm4(p2.reshape(B * Ho * Wo, F), wq, scale,
-                       out_dtype=jnp.float32).reshape(B, Ho, Wo, -1)
-    elif mode == "w8a8" and act_enc is not None:
-        mm = _make_static_q8_mm(act_enc, q2d.astype(jnp.int8), scale,
-                                use_pallas=use_pallas)
-
-        def conv(x):
-            p2 = _patches(x, (kh, kw), strides, padding, dilation)
-            B, Ho, Wo, F = p2.shape
-            return mm(p2.reshape(B * Ho * Wo, F)).reshape(B, Ho, Wo, -1)
-    else:
-        wq = q2d.astype(jnp.int8)
-        conv = lambda x: conv2d_w8(
-            x, wq, scale, (kh, kw), strides=strides, padding=padding,
-            rhs_dilation=dilation, use_pallas=use_pallas,
-            out_dtype=jnp.float32)
+    if mode == "w8a8" and act_enc is not None:
+        wq = q.astype(jnp.int8)
+        steps = float(act_enc.num_steps)
+        dx = jnp.asarray(act_enc.delta, jnp.float32).reshape(())
+        off = jnp.asarray(act_enc.offset, jnp.float32).reshape(())
+        conv = lambda x: conv2d_int8_static(
+            x, wq, scale, dx, off, steps, out_dtype=jnp.float32, **conv_kw)
+    elif mode in ("w8a8", "w4a8"):
+        # no static input encoding: dynamic per-tensor symmetric act quant
+        wq = q.astype(jnp.int8)
+        conv = lambda x: conv2d_w8a8_dynamic(
+            x, wq, scale, out_dtype=jnp.float32, **conv_kw)
+    elif mode == "w4":
+        if co % 2 == 0:
+            wq = pack_int4_conv_co(q)
+            conv = lambda x: conv2d_weight_only(
+                x, wq, scale, bits=4, out_dtype=jnp.float32, **conv_kw)
+        else:
+            wq = q.astype(jnp.int8)     # int4-valued codes, int8 storage
+            conv = lambda x: conv2d_weight_only(
+                x, wq, scale, bits=8, out_dtype=jnp.float32, **conv_kw)
+    else:  # w8 weight-only
+        wq = q.astype(jnp.int8)
+        conv = lambda x: conv2d_weight_only(
+            x, wq, scale, bits=8, out_dtype=jnp.float32, **conv_kw)
 
     def replacement(x):
         out = conv(x).astype(x.dtype)
@@ -273,6 +282,23 @@ def _lower_conv(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
         return out
 
     return replacement
+
+
+def op_flops(op: Op) -> int:
+    """MAC-based FLOPs (2*MACs) of a conv/linear op from traced shapes."""
+    eqn = op.eqns[0]
+    out = eqn.outvars[0].aval
+    if op.type in ("conv", "depthwise_conv", "conv_transpose"):
+        kh, kw, cig, _co = eqn.invars[1].aval.shape
+        return 2 * out.size * kh * kw * cig
+    if op.type == "linear":
+        ((lc, _rc), _) = eqn.params["dimension_numbers"]
+        lhs = eqn.invars[0].aval
+        k = 1
+        for d in lc:
+            k *= lhs.shape[d]
+        return 2 * out.size * k
+    return 0
 
 
 def lower_to_int(sim, params, mode: str = "w8",
@@ -299,9 +325,17 @@ def lower_to_int(sim, params, mode: str = "w8",
 
     replacements: Dict[str, Callable] = {}
     lowered, skipped, downgraded = [], [], []
+    flops_lowered = flops_total = 0
+    conv_types = ("conv", "depthwise_conv", "conv_transpose")
     for op in graph.ops:
-        if op.type not in ("linear", "conv"):
+        if op.type not in ("linear",) + conv_types:
             continue
+        if op.scope is not None:
+            # inside a scan/while/cond body: the replacement machinery
+            # walks top-level eqns only; stays on the (fake-quant) path
+            skipped.append(op.name)
+            continue
+        flops_total += op_flops(op)
         kp = op.param_products.get("kernel")
         if kp is None or kp.param_path not in sim._encodings:
             skipped.append(op.name)
@@ -326,6 +360,7 @@ def lower_to_int(sim, params, mode: str = "w8",
             else:
                 replacements[op.name] = fn
                 lowered.append(op.name)
+                flops_lowered += op_flops(op)
             continue
         act_enc = None
         if mode == "w8a8":
@@ -340,8 +375,9 @@ def lower_to_int(sim, params, mode: str = "w8",
                 warnings.warn(
                     f"lower_to_int(mode='w8a8'): op {op.name!r} has no "
                     f"per-tensor 8-bit input-activation encoding — "
-                    f"lowering as weight-only INT8 (recorded in "
-                    f"LoweredModel.downgraded_ops)", stacklevel=2)
+                    f"lowering with dynamic activation quantization (convs) "
+                    f"or weight-only INT8 (matmuls); recorded in "
+                    f"LoweredModel.downgraded_ops", stacklevel=2)
         fn = (_lower_linear if op.type == "linear" else _lower_conv)(
             op, w, bias, enc, spec.channel_axis, mode, use_pallas,
             act_enc=act_enc)
@@ -352,6 +388,7 @@ def lower_to_int(sim, params, mode: str = "w8",
             continue
         replacements[op.name] = fn
         lowered.append(op.name)
+        flops_lowered += op_flops(op)
 
     return LoweredModel(graph, replacements, out_tree, lowered, skipped,
-                        downgraded)
+                        downgraded, flops_lowered, flops_total)

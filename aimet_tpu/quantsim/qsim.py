@@ -146,6 +146,7 @@ class QuantizationSimModel:
         self._encodings: Dict[str, AffineEncoding] = {}
         self._frozen: set = set()
         self._build_quantizers()
+        self._collect_sub_names()
 
     # ------------------------------------------------------------------
     # Quantizer placement (QuantSimConfigurator equivalent)
@@ -338,6 +339,219 @@ class QuantizationSimModel:
             strict_symmetric=spec.strict_symmetric,
             unsigned_symmetric=spec.unsigned_symmetric, learn_range=learn_range)
 
+    def _collect_sub_names(self):
+        """Per control-flow/call eqn: the activation/input quantizer names
+        that live (transitively) inside its body — the set whose observer
+        states must be threaded through the loop carry (the TPU-native form
+        of the reference's per-timestep grouped quantizers,
+        qc_quantize_recurrent.py:191-306)."""
+        self._sub_act_names: Dict[int, list] = {}
+        for eqn_id, info in self.graph.subgraph_eqns.items():
+            names = []
+            for op in info["inner_ops"]:
+                spec = self.quantizers.get(op.name)
+                if spec is not None and spec.kind == "act":
+                    names.append(op.name)
+                if f"{op.name}_input" in self.quantizers:
+                    names.append(f"{op.name}_input")
+            self._sub_act_names[eqn_id] = sorted(set(names))
+
+    def _run_eqns(self, eqns, env, read, mode, obs_states, analyzers,
+                  encodings, learn_range, capture=None, captured=None,
+                  product_names=None):
+        """Hooked evaluation of a sequence of eqns into ``env``."""
+        for eqn in eqns:
+            invals = [read(v) for v in eqn.invars]
+            hooks = self._eqn_input_q.get(id(eqn))
+            if hooks:
+                for pos, qname in hooks:
+                    if mode == "observe" and analyzers is not None:
+                        obs_states[qname] = analyzers[qname].update(
+                            obs_states[qname], invals[pos])
+                    elif mode == "quantized" and encodings is not None \
+                            and qname in encodings:
+                        invals[pos] = self._qdq(invals[pos], qname, encodings,
+                                                learn_range)
+            sub = self.graph.subgraph_eqns.get(id(eqn))
+            if sub is not None and mode != "fp" \
+                    and self._sub_act_names.get(id(eqn)):
+                outs, obs_states = self._run_subgraph(
+                    eqn, sub, invals, mode, obs_states, analyzers,
+                    encodings, learn_range)
+            else:
+                outs = _eval_eqn(eqn, invals)
+            for ov, oval in zip(eqn.outvars, outs):
+                qname = self._act_var_q.get(id(ov))
+                if qname is not None:
+                    if mode == "observe" and analyzers is not None:
+                        obs_states[qname] = analyzers[qname].update(
+                            obs_states[qname], oval)
+                    elif mode == "quantized" and encodings is not None \
+                            and qname in encodings:
+                        oval = self._qdq(oval, qname, encodings, learn_range)
+                env[id(ov)] = oval
+                if capture is not None and product_names is not None:
+                    nm = product_names.get(id(ov))
+                    if nm in capture:
+                        captured[nm] = oval
+        return obs_states
+
+    def _eval_jaxpr_hooked(self, jaxpr, consts, invals, mode, obs_states,
+                           analyzers, encodings, learn_range):
+        """Evaluate a sub-jaxpr with quantizer interception (used for the
+        bodies of scan/while/cond and inlined calls)."""
+        env: Dict[int, Any] = {}
+
+        def read(v):
+            return v.val if isinstance(v, Literal) else env[id(v)]
+
+        for v, c in zip(jaxpr.constvars, consts):
+            env[id(v)] = c
+        for v, a in zip(jaxpr.invars, invals):
+            env[id(v)] = a
+        self._run_eqns(jaxpr.eqns, env, read, mode, obs_states, analyzers,
+                       encodings, learn_range)
+        return [read(v) for v in jaxpr.outvars]
+
+    def _run_subgraph(self, eqn, sub, invals, mode, obs_states, analyzers,
+                      encodings, learn_range):
+        """Execute a control-flow (or inlined-call) eqn with quantizer
+        interception inside its body.
+
+        For ``scan``/``while`` in observe mode the inner quantizers'
+        observer states ride in the loop carry, so the whole calibration of
+        a recurrent model compiles into ONE fused XLA loop (vs the
+        reference's per-step Python dispatch,
+        qc_quantize_recurrent.py:417-520).
+        """
+        kind = sub["kind"]
+        names = self._sub_act_names[id(eqn)]
+        observing = mode == "observe" and analyzers is not None
+
+        if kind == "call":
+            closed = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            inner = closed.jaxpr if hasattr(closed, "jaxpr") else closed
+            consts = closed.consts if hasattr(closed, "consts") else []
+            outs = self._eval_jaxpr_hooked(
+                inner, consts, invals, mode, obs_states, analyzers,
+                encodings, learn_range)
+            return outs, obs_states
+
+        if kind == "scan":
+            closed = eqn.params["jaxpr"]
+            nc = eqn.params["num_consts"]
+            nk = eqn.params["num_carry"]
+            consts_v = invals[:nc]
+            carry_v = tuple(invals[nc:nc + nk])
+            xs_v = tuple(invals[nc + nk:])
+            length = eqn.params["length"]
+            reverse = eqn.params["reverse"]
+            unroll = eqn.params.get("unroll", 1)
+
+            if observing:
+                def body(carry, xs):
+                    inner_c, ob = carry
+                    ob = dict(ob)
+                    vals = list(consts_v) + list(inner_c) + list(xs)
+                    outs = self._eval_jaxpr_hooked(
+                        closed.jaxpr, closed.consts, vals, mode, ob,
+                        analyzers, encodings, learn_range)
+                    return (tuple(outs[:nk]), ob), tuple(outs[nk:])
+
+                ob0 = {n: obs_states[n] for n in names}
+                (carry_o, ob1), ys = jax.lax.scan(
+                    body, (carry_v, ob0), xs_v, length=length,
+                    reverse=reverse, unroll=unroll)
+                obs_states.update(ob1)
+                return list(carry_o) + list(ys), obs_states
+
+            def body(carry, xs):
+                vals = list(consts_v) + list(carry) + list(xs)
+                outs = self._eval_jaxpr_hooked(
+                    closed.jaxpr, closed.consts, vals, mode, None,
+                    None, encodings, learn_range)
+                return tuple(outs[:nk]), tuple(outs[nk:])
+
+            carry_o, ys = jax.lax.scan(body, carry_v, xs_v, length=length,
+                                       reverse=reverse, unroll=unroll)
+            return list(carry_o) + list(ys), obs_states
+
+        if kind == "while":
+            cj = eqn.params["cond_jaxpr"]
+            bj = eqn.params["body_jaxpr"]
+            cn = eqn.params["cond_nconsts"]
+            bn = eqn.params["body_nconsts"]
+            cconsts = invals[:cn]
+            bconsts = invals[cn:cn + bn]
+            init = tuple(invals[cn + bn:])
+
+            if observing:
+                def cond_fn(state):
+                    c, _ob = state
+                    return _eval_jaxpr_raw(
+                        cj.jaxpr, cj.consts, list(cconsts) + list(c))[0]
+
+                def body_fn(state):
+                    c, ob = state
+                    ob = dict(ob)
+                    outs = self._eval_jaxpr_hooked(
+                        bj.jaxpr, bj.consts, list(bconsts) + list(c), mode,
+                        ob, analyzers, encodings, learn_range)
+                    return tuple(outs), ob
+
+                ob0 = {n: obs_states[n] for n in names}
+                carry_o, ob1 = jax.lax.while_loop(cond_fn, body_fn,
+                                                  (init, ob0))
+                obs_states.update(ob1)
+                return list(carry_o), obs_states
+
+            def cond_fn(c):
+                return _eval_jaxpr_raw(
+                    cj.jaxpr, cj.consts, list(cconsts) + list(c))[0]
+
+            def body_fn(c):
+                outs = self._eval_jaxpr_hooked(
+                    bj.jaxpr, bj.consts, list(bconsts) + list(c), mode,
+                    None, None, encodings, learn_range)
+                return tuple(outs)
+
+            carry_o = jax.lax.while_loop(cond_fn, body_fn, init)
+            return list(carry_o), obs_states
+
+        if kind == "cond":
+            idx = invals[0]
+            ops_v = tuple(invals[1:])
+            branches = eqn.params["branches"]
+
+            if observing:
+                def mk(closed):
+                    def f(state):
+                        opv, ob = state
+                        ob = dict(ob)
+                        outs = self._eval_jaxpr_hooked(
+                            closed.jaxpr, closed.consts, list(opv), mode,
+                            ob, analyzers, encodings, learn_range)
+                        return tuple(outs), ob
+                    return f
+
+                ob0 = {n: obs_states[n] for n in names}
+                outs, ob1 = jax.lax.switch(idx, [mk(b) for b in branches],
+                                           (ops_v, ob0))
+                obs_states.update(ob1)
+                return list(outs), obs_states
+
+            def mk(closed):
+                def f(opv):
+                    return tuple(self._eval_jaxpr_hooked(
+                        closed.jaxpr, closed.consts, list(opv), mode,
+                        None, None, encodings, learn_range))
+                return f
+
+            outs = jax.lax.switch(idx, [mk(b) for b in branches], ops_v)
+            return list(outs), obs_states
+
+        raise NotImplementedError(f"subgraph kind {kind!r}")
+
     def _run(self, params, args, mode: str, obs_states=None, analyzers=None,
              encodings=None, learn_range: bool = False,
              capture: Optional[set] = None, dynamic_params: bool = False):
@@ -387,30 +601,10 @@ class QuantizationSimModel:
             env[id(var)] = val
             maybe_capture(var, val)
 
-        for eqn in jaxpr.eqns:
-            invals = [read(v) for v in eqn.invars]
-            hooks = self._eqn_input_q.get(id(eqn))
-            if hooks:
-                for pos, qname in hooks:
-                    if mode == "observe" and analyzers is not None:
-                        obs_states[qname] = analyzers[qname].update(
-                            obs_states[qname], invals[pos])
-                    elif mode == "quantized" and encodings is not None \
-                            and qname in encodings:
-                        invals[pos] = self._qdq(invals[pos], qname, encodings,
-                                                learn_range)
-            outs = _eval_eqn(eqn, invals)
-            for ov, oval in zip(eqn.outvars, outs):
-                qname = self._act_var_q.get(id(ov))
-                if qname is not None:
-                    if mode == "observe" and analyzers is not None:
-                        obs_states[qname] = analyzers[qname].update(
-                            obs_states[qname], oval)
-                    elif mode == "quantized" and encodings is not None \
-                            and qname in encodings:
-                        oval = self._qdq(oval, qname, encodings, learn_range)
-                env[id(ov)] = oval
-                maybe_capture(ov, oval)
+        obs_states = self._run_eqns(
+            jaxpr.eqns, env, read, mode, obs_states, analyzers, encodings,
+            learn_range, capture=capture, captured=captured,
+            product_names=product_names)
 
         outs = []
         for v in jaxpr.outvars:
