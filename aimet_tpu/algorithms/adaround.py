@@ -164,13 +164,19 @@ def optimize_layer_rounding(op: Op, w, bias, encoding, channel_axis,
 
 
 def apply_adaround(sim: QuantizationSimModel, params, data_batches: Sequence,
-                   ada_params: Optional[AdaroundParameters] = None):
+                   ada_params: Optional[AdaroundParameters] = None,
+                   cache_dir: Optional[str] = None,
+                   cache_key: str = "adaround"):
     """Run AdaRound over every conv/linear layer (Adaround.apply_adaround,
     adaround_weight.py:114).
 
     Returns params with adarounded (dequantized) weights; the corresponding
     param encodings are set and frozen on ``sim`` so a subsequent
     ``compute_encodings`` will not disturb them.
+
+    ``cache_dir``: if given, each optimized layer's rounded weight is
+    persisted there (reference cache at adaround_weight.py:596); an
+    interrupted run resumes at the first un-optimized layer.
     """
     ada_params = ada_params or AdaroundParameters()
     if not isinstance(data_batches, (list, tuple)):
@@ -202,6 +208,19 @@ def apply_adaround(sim: QuantizationSimModel, params, data_batches: Sequence,
         sim.compute_param_encodings(new_params, only=[kpath])
         encoding = sim.encodings[kpath]
 
+        if cache_dir is not None:
+            import os
+
+            os.makedirs(cache_dir, exist_ok=True)
+            cpath = os.path.join(cache_dir, f"{cache_key}.{op.name}.npz")
+            if os.path.exists(cpath):
+                cached = np.load(cpath)
+                if tuple(cached["w"].shape) == tuple(jnp.shape(w)):
+                    new_params = set_leaves(
+                        new_params, {kpath: jnp.asarray(cached["w"])})
+                    sim.set_encoding(kpath, encoding, freeze=True)
+                    continue
+
         # sample activations: quantized-so-far inputs, FP targets
         in_name = op.inputs[0].name
         out_name = op.output.name
@@ -220,5 +239,7 @@ def apply_adaround(sim: QuantizationSimModel, params, data_batches: Sequence,
             ada_params, out_feat_ax)
         new_params = set_leaves(new_params, {kpath: w_ada})
         sim.set_encoding(kpath, encoding, freeze=True)
+        if cache_dir is not None:
+            np.savez(cpath, w=np.asarray(w_ada))
 
     return new_params

@@ -40,6 +40,54 @@ class AutoQuantResult:
             lines.append(f" {mark} {s.name}: {s.accuracy:.5f}")
         return "\n".join(lines)
 
+    def export_diagnostics(self, path: str) -> str:
+        """Render the per-stage eval record as an HTML report — the
+        TPU-native stand-in for the reference's bokeh eval-score tables and
+        diagnostics flowchart (v1/auto_quant.py:848-1030, 1278)."""
+        fp32 = next((s.accuracy for s in self.history if s.name == "fp32"),
+                    None)
+        accs = [s.accuracy for s in self.history]
+        lo = min(accs + ([fp32] if fp32 is not None else []))
+        hi = max(accs + ([fp32] if fp32 is not None else []))
+        span = max(hi - lo, 1e-12)
+        rows, flow = [], []
+        for s in self.history:
+            pct = 100.0 * (s.accuracy - lo) / span
+            best = s.name == self.best_stage
+            rows.append(
+                f"<tr{' class=best' if best else ''}><td>{s.name}</td>"
+                f"<td>{s.accuracy:.5f}</td>"
+                f"<td>{'applied' if s.applied else 'baseline'}</td>"
+                f"<td><div class=bar style='width:{pct:.1f}%'></div></td>"
+                f"</tr>")
+            flow.append(
+                f"<div class='node{' best' if best else ''}'>{s.name}"
+                f"<br><small>{s.accuracy:.4f}</small></div>")
+        html = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>AutoQuant diagnostics</title><style>
+body{{font-family:sans-serif;margin:2em}}
+table{{border-collapse:collapse}}td,th{{border:1px solid #ccc;
+padding:4px 10px}}tr.best{{background:#e6f4e6;font-weight:bold}}
+.bar{{background:#4a90d9;height:12px;min-width:2px}}
+td:last-child{{width:240px}}
+.flow{{display:flex;align-items:center;gap:0;margin:1.5em 0}}
+.node{{border:2px solid #888;border-radius:8px;padding:8px 14px;
+text-align:center}}.node.best{{border-color:#2a7;background:#e6f4e6}}
+.flow .node+.node{{margin-left:28px;position:relative}}
+.flow .node+.node:before{{content:"\\2192";position:absolute;left:-22px;
+top:50%;transform:translateY(-50%);font-size:18px}}
+</style></head><body>
+<h2>AutoQuant diagnostics</h2>
+<p>best stage: <b>{self.best_stage}</b> — accuracy
+{self.accuracy:.5f}</p>
+<div class="flow">{''.join(flow)}</div>
+<table><tr><th>stage</th><th>accuracy</th><th>status</th><th></th></tr>
+{''.join(rows)}</table>
+</body></html>"""
+        with open(path, "w") as f:
+            f.write(html)
+        return path
+
 
 class AutoQuant:
     """auto_quant = AutoQuant(fn, example_args, params, data, eval_fn);
@@ -50,7 +98,9 @@ class AutoQuant:
                  config: Optional[QuantSimConfig] = None,
                  quant_scheme: str = "sqnr",
                  default_param_bw: int = 8, default_output_bw: int = 8,
-                 adaround_params: Optional[AdaroundParameters] = None):
+                 adaround_params: Optional[AdaroundParameters] = None,
+                 cache_dir: Optional[str] = None,
+                 cache_key: str = "autoquant"):
         self.fn = fn
         self.example_args = example_args
         self.params = params
@@ -62,33 +112,62 @@ class AutoQuant:
         self.output_bw = default_output_bw
         self.adaround_params = adaround_params or AdaroundParameters(
             num_iterations=1000)
+        # resumable-pipeline cache (reference: aimet_common/cache.py:58,
+        # used by auto_quant's eval sessions and adaround_weight.py:596)
+        self.cache_dir = cache_dir
+        self.cache_key = cache_key
 
-    def _make_sim(self, params) -> QuantizationSimModel:
+    def _mark(self, name: str, fn: Callable):
+        """Disk-memoize a stage output (Cache.mark semantics); identity
+        passthrough when no cache_dir was configured."""
+        if self.cache_dir is None:
+            return fn()
+        from ..utils.cache import Cache
+
+        cache = Cache()
+        with cache.enable(self.cache_dir, self.cache_key):
+            return cache.mark(name)(fn)()
+
+    def _make_sim(self, params, encodings=None) -> QuantizationSimModel:
         sim = QuantizationSimModel(
             self.fn, (params,) + tuple(self.example_args[1:]),
             config=self.config, quant_scheme=self.quant_scheme,
             default_param_bw=self.param_bw,
             default_output_bw=self.output_bw)
-        sim.compute_encodings(params, iter(self.calib))
+        if encodings is not None:
+            sim.load_encodings(encodings)
+        else:
+            sim.compute_encodings(params, iter(self.calib))
         return sim
 
     def _eval(self, sim, params) -> float:
         return self.eval_fn(lambda *a: sim.quantized_fn(params, *a))
 
+    def _calibrated_eval(self, name: str, params):
+        """Calibrate a sim on ``params`` and evaluate it, caching the
+        (encodings, accuracy) pair so a resumed run skips both."""
+        def run():
+            sim = self._make_sim(params)
+            return sim.export_encodings(), self._eval(sim, params)
+
+        enc, acc = self._mark(name, run)
+        sim = self._make_sim(params, encodings=enc)
+        return sim, acc
+
     def optimize(self, allowed_accuracy_drop: float = 0.0,
                  fp32_accuracy: Optional[float] = None) -> AutoQuantResult:
         history: List[StageResult] = []
         if fp32_accuracy is None:
-            fp32_accuracy = self.eval_fn(
-                lambda *a: self.fn(self.params, *a))
+            fp32_accuracy = self._mark(
+                "fp32_eval",
+                lambda: self.eval_fn(lambda *a: self.fn(self.params, *a)))
         history.append(StageResult("fp32", fp32_accuracy, False))
         target = fp32_accuracy - allowed_accuracy_drop
 
         best = ("quantsim", -float("inf"), self.params, None)
 
         # Stage 1: plain quantsim (auto_quant.py W32 eval + quantsim)
-        sim = self._make_sim(self.params)
-        acc = self._eval(sim, self.params)
+        sim, acc = self._calibrated_eval("quantsim", self.params)
         history.append(StageResult("quantsim", acc, True))
         best = max(best, ("quantsim", acc, self.params, sim),
                    key=lambda t: t[1])
@@ -96,10 +175,13 @@ class AutoQuant:
             return self._result(best, history)
 
         # Stage 2: BN fold + CLE (+ HBF)
-        graph = ConnectedGraph(self.fn, (self.params,) + tuple(self.example_args[1:]))
-        eq_params = equalize_model(graph, self.params)
-        sim2 = self._make_sim(eq_params)
-        acc2 = self._eval(sim2, eq_params)
+        def run_cle():
+            graph = ConnectedGraph(
+                self.fn, (self.params,) + tuple(self.example_args[1:]))
+            return equalize_model(graph, self.params)
+
+        eq_params = self._mark("cle", run_cle)
+        sim2, acc2 = self._calibrated_eval("cle_eval", eq_params)
         history.append(StageResult("cle", acc2, True))
         best = max(best, ("cle", acc2, eq_params, sim2), key=lambda t: t[1])
         if acc2 >= target:
@@ -109,7 +191,9 @@ class AutoQuant:
         base_params = best[2]
         sim3 = self._make_sim(base_params)
         ada_params = apply_adaround(sim3, base_params, self.calib,
-                                    self.adaround_params)
+                                    self.adaround_params,
+                                    cache_dir=self.cache_dir,
+                                    cache_key=f"{self.cache_key}.ada")
         sim3.compute_encodings(ada_params, iter(self.calib))
         acc3 = self._eval(sim3, ada_params)
         history.append(StageResult("adaround", acc3, True))
@@ -144,6 +228,10 @@ class AutoQuantWithAutoMixedPrecision(AutoQuant):
         # Stage 4: AMP (greedy flips from the high-precision baseline)
         from .amp import choose_mixed_precision
         sim, params = result.sim, result.params
+        if not hasattr(sim, "_analyzers"):
+            # sim was rebuilt from cached encodings: AMP needs the retained
+            # calibration statistics to recompute per-bitwidth encodings
+            sim.compute_encodings(params, iter(self.calib))
 
         def eval_fn(forward):
             return self.eval_fn(forward)

@@ -66,67 +66,95 @@ def reconstruct_weights(x_samples, y_samples, op: Op, keep, w, bias):
     return w_new
 
 
+def make_multi_channel_pruned_replacements(
+    graph: ConnectedGraph, params, ratio_map: Dict[str, float],
+    act_samples=None,
+):
+    """Prune several layers' input channels in ONE winnow plan.
+
+    Seeds sharing a channel space (e.g. several convs reading one residual
+    trunk) are merged by the mask propagation (winnow.plan_winnow), so the
+    resulting replacements are mutually consistent — unlike per-layer
+    pruning, where overlapping plans would clobber each other.
+
+    ``act_samples``: optional {op name: (x_samples, y_samples)} for
+    least-squares weight reconstruction (weight_reconstruction.py:58-130).
+    Returns (replacements dict, WinnowPlan).
+    """
+    from jax import tree_util as jtu
+
+    from .winnow import _feature_axis, winnow_model
+
+    leaves = jtu.tree_leaves(params)
+    masks: Dict[str, list] = {}
+    for name, ratio in ratio_map.items():
+        op = graph.get_op(name)
+        _, in_ax, _ = _conv_axes(op)
+        w = leaves[graph._param_leaf_index[
+            op.param_products["kernel"].param_path]]
+        n_in = w.shape[in_ax]
+        num_keep = max(1, int(round(n_in * ratio)))
+        keep = select_channels_to_keep(w, num_keep, in_ax)
+        masks[name] = sorted(set(range(n_in)) - set(keep.tolist()))
+
+    reduced, replacements = winnow_model(graph, params, masks)
+    plan = reduced.plan
+
+    if act_samples:
+        from ..algorithms.adaround import _layer_apply
+
+        for name in masks:
+            if name not in act_samples:
+                continue
+            op = graph.get_op(name)
+            out_ax, in_ax, _ = _conv_axes(op)
+            w = leaves[graph._param_leaf_index[
+                op.param_products["kernel"].param_path]]
+            bias = None
+            if "bias" in op.param_products:
+                bias = leaves[graph._param_leaf_index[
+                    op.param_products["bias"].param_path]]
+            # the seed's final keep can be narrower than requested after
+            # space merging: read it back from the plan
+            in_keeps = [k for role, ax, k in plan.layer_slices[name]
+                        if role == "kernel" and ax == in_ax]
+            actual_keep = in_keeps[0]
+            for k in in_keeps[1:]:
+                actual_keep = np.intersect1d(actual_keep, k)
+            out_keeps = [k for role, ax, k in plan.layer_slices[name]
+                         if role == "kernel" and ax == out_ax]
+
+            x_s, y_s = act_samples[name]
+            if out_keeps:  # output also pruned by another seed's space
+                ofax = _feature_axis(op, op.output)
+                y_s = jnp.take(y_s, out_keeps[0], axis=ofax)
+                if bias is not None:
+                    bias = jnp.take(bias, out_keeps[0], axis=0)
+                w = jnp.take(w, out_keeps[0], axis=out_ax)
+            w_k = reconstruct_weights(x_s, y_s, op, actual_keep, w, bias)
+            gathered = name in plan.gathers
+            in_feat_ax = _feature_axis(op, op.inputs[0]) if gathered else None
+
+            def op_fn(x, op=op, w_k=w_k, bias=bias, keep=actual_keep,
+                      gathered=gathered, in_feat_ax=in_feat_ax):
+                if gathered:
+                    x = jnp.take(x, jnp.asarray(keep), axis=in_feat_ax)
+                return _layer_apply(op, x, w_k, bias)
+
+            replacements[name] = op_fn
+
+    return replacements, plan
+
+
 def make_channel_pruned_replacements(
     graph: ConnectedGraph, params, op: Op, comp_ratio: float,
     x_samples=None, y_samples=None,
 ) -> Dict[str, Callable]:
-    """Prune ``op``'s input channels to ``comp_ratio`` fraction.
-
-    Returns replacements for (a) the previous layer (producing only the kept
-    channels) and (b) ``op`` itself (consuming the reduced input). Weight
-    reconstruction is applied when activation samples are provided.
-    """
-    from jax import tree_util as jtu
-
-    leaves = jtu.tree_leaves(params)
-    out_ax, in_ax, _ = _conv_axes(op)
-    w = leaves[graph._param_leaf_index[op.param_products["kernel"].param_path]]
-    bias = None
-    if "bias" in op.param_products:
-        bias = leaves[graph._param_leaf_index[op.param_products["bias"].param_path]]
-
-    n_in = w.shape[in_ax]
-    num_keep = max(1, int(round(n_in * comp_ratio)))
-    keep = select_channels_to_keep(w, num_keep, in_ax)
-
-    # walk back through channel-preserving ops (winnow mask propagation,
-    # aimet_common/winnow/mask.py Direct-connectivity ops); every hop must be
-    # single-consumer or the pruned channels would corrupt a sibling branch
-    prev = op.inputs[0].producer
-    hops = 0
-    while prev is not None and prev.type in ("relu", "clip", "maxpool",
-                                             "avgpool", "max", "min") and hops < 6:
-        if len(prev.output.consumers) != 1:
-            raise ValueError(
-                f"cannot winnow input of {op.name}: {prev.name}'s output has "
-                f"multiple consumers")
-        prev = prev.inputs[0].producer
-        hops += 1
-    if prev is None or prev.type not in ("conv", "linear", "depthwise_conv"):
-        raise ValueError(f"cannot winnow input of {op.name}: no previous layer")
-    if len(prev.output.consumers) != 1:
-        raise ValueError(
-            f"cannot winnow input of {op.name}: {prev.name}'s output has "
-            f"multiple consumers")
-    p_out_ax, _, _ = _conv_axes(prev)
-    pw = leaves[graph._param_leaf_index[prev.param_products["kernel"].param_path]]
-    pw_k = jnp.take(pw, keep, axis=p_out_ax)
-    p_bias = None
-    if "bias" in prev.param_products:
-        p_bias = jnp.take(
-            leaves[graph._param_leaf_index[prev.param_products["bias"].param_path]],
-            keep, axis=0)
-
-    w_k = jnp.take(w, keep, axis=in_ax)
+    """Single-layer convenience wrapper over
+    :func:`make_multi_channel_pruned_replacements`."""
+    samples = None
     if x_samples is not None and y_samples is not None:
-        w_k = reconstruct_weights(x_samples, y_samples, op, keep, w, bias)
-
-    from ..algorithms.adaround import _layer_apply
-
-    def prev_fn(x):
-        return _layer_apply(prev, x, pw_k, p_bias)
-
-    def op_fn(x):
-        return _layer_apply(op, x, w_k, bias)
-
-    return {prev.name: prev_fn, op.name: op_fn}
+        samples = {op.name: (x_samples, y_samples)}
+    reps, _plan = make_multi_channel_pruned_replacements(
+        graph, params, {op.name: comp_ratio}, samples)
+    return reps

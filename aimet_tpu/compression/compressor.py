@@ -20,11 +20,15 @@ from jax import tree_util as jtu
 
 from ..graph.connected_graph import ConnectedGraph, Op
 from ..graph.interpreter import evaluate_with_replacements
-from .channel_pruning import make_channel_pruned_replacements
+from .channel_pruning import (make_channel_pruned_replacements,
+                              make_multi_channel_pruned_replacements)
 from .cost import (Cost, layer_cost, model_cost, rank_for_comp_ratio,
-                   spatial_svd_cost, weight_svd_cost)
+                   ranks_for_comp_ratio_ssvd, spatial_svd_cost,
+                   successive_svd_cost, weight_svd_cost)
 from .greedy import GreedyCompRatioSelect, GreedySelectionParameters
-from .svd import make_spatial_svd_replacement, make_weight_svd_replacement
+from .svd import (make_spatial_svd_replacement,
+                  make_successive_svd_replacement,
+                  make_weight_svd_replacement)
 
 
 @dataclasses.dataclass
@@ -57,34 +61,68 @@ class CompressedModel:
 class ModelCompressor:
     """compress_model entry point (compress.py:50)."""
 
-    SCHEMES = ("spatial_svd", "weight_svd", "channel_pruning")
+    SCHEMES = ("spatial_svd", "weight_svd", "successive_svd",
+               "channel_pruning")
 
     @staticmethod
     def _compressible_layers(graph: ConnectedGraph, scheme: str,
                              ignore: Sequence[str] = ()) -> List[Op]:
         types = {"spatial_svd": ("conv",),
                  "weight_svd": ("conv", "linear"),
+                 "successive_svd": ("conv",),
                  "channel_pruning": ("conv",)}[scheme]
         return [op for op in graph.ops
                 if op.type in types and "kernel" in op.param_products
                 and op.name not in ignore]
 
+    @staticmethod
+    def _op_weights(graph, params, op):
+        """(kernel, bias) of a layer op — from the param pytree, or (for a
+        re-traced compressed graph whose weights became closure constants)
+        from the jaxpr consts."""
+        leaves = jtu.tree_leaves(params)
+        if "kernel" in op.param_products:
+            w = leaves[graph._param_leaf_index[
+                op.param_products["kernel"].param_path]]
+            bias = None
+            if "bias" in op.param_products:
+                bias = leaves[graph._param_leaf_index[
+                    op.param_products["bias"].param_path]]
+            return w, bias
+        const_of = {id(v): c for v, c in
+                    zip(graph.jaxpr.constvars, graph.consts)}
+        rhs = graph.resolve_var(op.eqns[0].invars[1])
+        if id(rhs) not in const_of:
+            raise ValueError(
+                f"{op.name}: weights are neither params nor constants; "
+                f"cannot compress this layer further")
+        w = const_of[id(rhs)]
+        bias = None
+        for e in op.eqns[1:]:
+            if e.primitive.name != "add":
+                continue
+            for v in e.invars:
+                rv = None if isinstance(v, jax.extend.core.Literal) \
+                    else graph.resolve_var(v)
+                if rv is not None and id(rv) in const_of:
+                    b = np.asarray(const_of[id(rv)])
+                    bias = b.reshape(-1)
+        return w, bias
+
     @classmethod
     def _make_replacement(cls, graph, params, op, ratio, scheme,
                           act_samples=None):
-        leaves = jtu.tree_leaves(params)
-        w = leaves[graph._param_leaf_index[
-            op.param_products["kernel"].param_path]]
-        bias = None
-        if "bias" in op.param_products:
-            bias = leaves[graph._param_leaf_index[
-                op.param_products["bias"].param_path]]
+        w, bias = cls._op_weights(graph, params, op)
         if scheme == "spatial_svd":
             rank = rank_for_comp_ratio(op, ratio, "spatial_svd")
             return {op.name: make_spatial_svd_replacement(op, w, bias, rank)}
         if scheme == "weight_svd":
             rank = rank_for_comp_ratio(op, ratio, "weight_svd")
             return {op.name: make_weight_svd_replacement(op, w, bias, rank)}
+        if scheme == "successive_svd":
+            r, s = ranks_for_comp_ratio_ssvd(op, ratio)
+            return {op.name: make_successive_svd_replacement(op, w, bias,
+                                                             r, s)}
         if scheme == "channel_pruning":
             x_s = y_s = None
             if act_samples is not None and op.name in act_samples:
@@ -116,11 +154,15 @@ class ModelCompressor:
             assert eval_fn is not None, "auto mode needs eval_fn"
 
             def greedy_eval(ratio_map: Dict[str, float]) -> float:
-                reps = {}
-                for name, r in ratio_map.items():
-                    op = graph.get_op(name)
-                    reps.update(cls._make_replacement(
-                        graph, params, op, r, scheme, act_samples))
+                if scheme == "channel_pruning":
+                    reps, _ = make_multi_channel_pruned_replacements(
+                        graph, params, ratio_map, act_samples)
+                else:
+                    reps = {}
+                    for name, r in ratio_map.items():
+                        op = graph.get_op(name)
+                        reps.update(cls._make_replacement(
+                            graph, params, op, r, scheme, act_samples))
                 model = CompressedModel(graph, reps, out_tree)
                 return eval_fn(model)
 
@@ -130,6 +172,8 @@ class ModelCompressor:
                 cost_fn=lambda op, r: (
                     spatial_svd_cost(op, rank_for_comp_ratio(op, r, "spatial_svd")).mac
                     if scheme == "spatial_svd" else
+                    successive_svd_cost(op, *ranks_for_comp_ratio_ssvd(op, r)).mac
+                    if scheme == "successive_svd" else
                     weight_svd_cost(op, rank_for_comp_ratio(op, r, "weight_svd")).mac
                     if scheme == "weight_svd" else layer_cost(op).mac * r))
             ratios, _ = sel.select()
@@ -139,17 +183,27 @@ class ModelCompressor:
         replacements: Dict[str, Callable] = {}
         compressed_cost = Cost(0, 0)
         orig = model_cost(graph)
+        if scheme == "channel_pruning":
+            # one joint winnow plan: seeds sharing a channel space (residual
+            # trunks, concat segments) must shrink consistently
+            active = {n: r for n, r in ratios.items() if r < 1.0}
+            replacements, _plan = make_multi_channel_pruned_replacements(
+                graph, params, active, act_samples)
         for op in graph.ops:
             r = ratios.get(op.name, 1.0)
             if op.name in ratios and r < 1.0:
-                replacements.update(cls._make_replacement(
-                    graph, params, op, r, scheme, act_samples))
+                if scheme != "channel_pruning":
+                    replacements.update(cls._make_replacement(
+                        graph, params, op, r, scheme, act_samples))
                 if scheme == "spatial_svd":
                     compressed_cost += spatial_svd_cost(
                         op, rank_for_comp_ratio(op, r, "spatial_svd"))
                 elif scheme == "weight_svd":
                     compressed_cost += weight_svd_cost(
                         op, rank_for_comp_ratio(op, r, "weight_svd"))
+                elif scheme == "successive_svd":
+                    compressed_cost += successive_svd_cost(
+                        op, *ranks_for_comp_ratio_ssvd(op, r))
                 else:
                     c = layer_cost(op)
                     compressed_cost += Cost(c.memory * r, c.mac * r)

@@ -29,10 +29,19 @@ class Cost:
         return Cost(self.memory - other.memory, self.mac - other.mac)
 
 
+def _kernel_shape(op: Op):
+    """Kernel shape; for re-traced compressed graphs the kernel may be a
+    closure constant instead of a param product — read the conv/dot eqn's
+    rhs aval then."""
+    if "kernel" in op.param_products:
+        return op.param_products["kernel"].shape
+    return tuple(op.eqns[0].invars[1].aval.shape)
+
+
 def _conv_dims(op: Op):
     """Returns (kh, kw, n_in, n_out, out_h, out_w) in layout-agnostic form."""
     dn = op.attrs["dimension_numbers"]
-    kshape = op.param_products["kernel"].shape
+    kshape = _kernel_shape(op)
     out_shape = op.output.shape
     n_out = kshape[dn.rhs_spec[0]]
     n_in = kshape[dn.rhs_spec[1]]
@@ -49,8 +58,7 @@ def layer_cost(op: Op) -> Cost:
         mem = kh * kw * n_in * n_out
         return Cost(mem, mem * oh * ow)
     if op.type == "linear":
-        kshape = op.param_products["kernel"].shape
-        mem = int(np.prod(kshape))
+        mem = int(np.prod(_kernel_shape(op)))
         return Cost(mem, mem)
     return Cost(0, 0)
 
@@ -72,6 +80,39 @@ def weight_svd_cost(op: Op, rank: int) -> Cost:
     mem = kh * kw * n_in * rank + rank * n_out
     mac = kh * kw * n_in * rank * oh * ow + rank * n_out * oh * ow
     return Cost(mem, mac)
+
+
+def successive_svd_cost(op: Op, rank_r: int, rank_s: int) -> Cost:
+    """TYPE_SUCCESSIVE (SvdAlgorithm.cpp:102-106):
+    (I*s) + (s*r*kh*kw) + (r*O), each times the output spatial size."""
+    kh, kw, n_in, n_out, oh, ow = _conv_dims(op)
+    mem = n_in * rank_s + rank_s * rank_r * kh * kw + rank_r * n_out
+    return Cost(mem, mem * oh * ow)
+
+
+def ranks_for_comp_ratio_ssvd(op: Op, comp_ratio: float) -> Tuple[int, int]:
+    """(r, s) pair for successive SVD at the target MAC ratio: the rank
+    pool enumerates valid pairs (SvdAlgorithm.cpp:221-240); pick the pair
+    with the largest retained-capacity proxy r*s under the budget."""
+    kh, kw, n_in, n_out, _, _ = _conv_dims(op)
+    budget = comp_ratio * layer_cost(op).mac
+    best, best_score = (1, 1), -1
+    for r in range(1, n_out + 1):
+        max_s = min(n_in, r * kh * kw)
+        # largest s under budget for this r (cost is monotone in s)
+        lo, hi = 1, max_s
+        if successive_svd_cost(op, r, 1).mac > budget:
+            continue
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if successive_svd_cost(op, r, mid).mac <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        score = r * lo
+        if score > best_score:
+            best, best_score = (r, lo), score
+    return best
 
 
 def max_spatial_svd_rank(op: Op) -> int:

@@ -63,6 +63,47 @@ def weight_svd_factor_conv(op: Op, w, rank: int):
     return w1, w2
 
 
+def successive_svd_factor_conv(op: Op, w, rank_r: int, rank_s: int):
+    """TYPE_SUCCESSIVE (ISVD.hpp:69-71; SvdAlgorithm.cpp:102-106 cost
+    shape): kernel (kh,kw,I,O) -> w_in (1,1,I,s) . w_mid (kh,kw,s,r)
+    . w_out (1,1,r,O).  The single weight-SVD split is applied again to the
+    first factor across the input dimension."""
+    w1, w_out = weight_svd_factor_conv(op, w, rank_r)   # (kh,kw,I,r),(1,1,r,O)
+    kh, kw, I, r = w1.shape
+    m = jnp.transpose(w1, (2, 0, 1, 3)).reshape(I, kh * kw * r)
+    u, sv, vt = jnp.linalg.svd(m, full_matrices=False)
+    s = min(rank_s, sv.shape[0])
+    sq = jnp.sqrt(sv[:s])
+    w_in = (u[:, :s] * sq[None, :]).reshape(1, 1, I, s)
+    w_mid = jnp.transpose(
+        (vt[:s, :] * sq[:, None]).reshape(s, kh, kw, r), (1, 2, 0, 3))
+    return w_in, w_mid, w_out
+
+
+def make_successive_svd_replacement(op: Op, w, bias, rank_r: int,
+                                    rank_s: int) -> Callable:
+    """Three-stage factored conv: 1x1 input projection, spatial bottleneck
+    conv (original stride/padding), 1x1 output projection."""
+    w_in, w_mid, w_out = successive_svd_factor_conv(op, w, rank_r, rank_s)
+    strides = tuple(op.attrs["window_strides"])
+
+    def conv(x, k, st=(1, 1), pad="VALID"):
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=st, padding=pad,
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
+
+    def apply_fn(x):
+        y = conv(x, w_in)
+        y = conv(y, w_mid, strides, op.attrs["padding"])
+        y = conv(y, w_out)
+        if bias is not None:
+            y = y + bias
+        return y
+
+    return apply_fn
+
+
 def _split_padding(padding, kh, kw):
     if isinstance(padding, str):
         return padding, padding

@@ -237,6 +237,19 @@ class _TorchGraphFunction:
         self._module_meta: Dict[str, Tuple[str, dict]] = {}
         self._collect_modules()
 
+    def module_call_sequence(self):
+        """``[(qualified_name, kind, meta)]`` for every call_module node in
+        fx graph (= execution) order.  Used by interop.encodings_io to align
+        torch module paths with ConnectedGraph ops — the TPU-native analogue
+        of the reference's CustomMarker torch-name<->onnx-node recovery
+        (onnx_utils.py:288-313)."""
+        seq = []
+        for node in self.gm.graph.nodes:
+            if node.op == "call_module":
+                kind, meta = self._module_meta[node.target]
+                seq.append((node.target, kind, meta))
+        return seq
+
     # -- import-time ------------------------------------------------------
     def _collect_modules(self):
         import torch.nn as nn

@@ -244,11 +244,12 @@ def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, nk):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=1024, block_k=512,
+def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=1024, block_k=1024,
                 out_dtype=None):
     """Full-int8 path: dynamic per-row activation quant + int8 MXU matmul.
-    Default blocks tuned on v5e at M=1024, K=N=4096 (260 TF/s; sweep:
-    1024x1024x512 = 260 > 512x1024x1024 = 255 > 512x1024x512 = 245)."""
+    Default blocks tuned on v5e at M=1024, K=N=4096 (r2 sweep:
+    1024x1024x1024 = 297 TF/s > 1024x512x1024 = 277 > 512x2048x512 = 273 >
+    1024x1024x512 = 262; bigger blocks exceed the 16M scoped-vmem limit)."""
     x_q, x_scale = quantize_activation_per_row(x)
     return matmul_q8(x_q, x_scale, w_q, w_scale, block_m=block_m,
                      block_n=block_n, block_k=block_k,
@@ -258,7 +259,7 @@ def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=1024, block_k=512,
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
 def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=1024, block_n=1024,
-              block_k=512, out_dtype=jnp.float32):
+              block_k=1024, out_dtype=jnp.float32):
     """int8 x int8 -> int32 MXU matmul with per-row x per-channel scale
     epilogue. ``x_q`` already int8 (dynamic path quantizes first; the
     static-encoding lowering path quantizes with frozen calibration

@@ -373,11 +373,16 @@ class QuantizationSimModel:
                         invals[pos] = self._qdq(invals[pos], qname, encodings,
                                                 learn_range)
             sub = self.graph.subgraph_eqns.get(id(eqn))
-            if sub is not None and mode != "fp" \
-                    and self._sub_act_names.get(id(eqn)):
+            # descend for quantizer interception, and also (call-kind only)
+            # when capturing: products created inside inlined bodies
+            # (custom_jvp activations etc.) are invisible to the flat pass.
+            if sub is not None and (
+                    (mode != "fp" and self._sub_act_names.get(id(eqn)))
+                    or (capture is not None and sub["kind"] == "call")):
                 outs, obs_states = self._run_subgraph(
                     eqn, sub, invals, mode, obs_states, analyzers,
-                    encodings, learn_range)
+                    encodings, learn_range, capture=capture,
+                    captured=captured, product_names=product_names)
             else:
                 outs = _eval_eqn(eqn, invals)
             for ov, oval in zip(eqn.outvars, outs):
@@ -397,7 +402,8 @@ class QuantizationSimModel:
         return obs_states
 
     def _eval_jaxpr_hooked(self, jaxpr, consts, invals, mode, obs_states,
-                           analyzers, encodings, learn_range):
+                           analyzers, encodings, learn_range, capture=None,
+                           captured=None, product_names=None):
         """Evaluate a sub-jaxpr with quantizer interception (used for the
         bodies of scan/while/cond and inlined calls)."""
         env: Dict[int, Any] = {}
@@ -410,11 +416,13 @@ class QuantizationSimModel:
         for v, a in zip(jaxpr.invars, invals):
             env[id(v)] = a
         self._run_eqns(jaxpr.eqns, env, read, mode, obs_states, analyzers,
-                       encodings, learn_range)
+                       encodings, learn_range, capture=capture,
+                       captured=captured, product_names=product_names)
         return [read(v) for v in jaxpr.outvars]
 
     def _run_subgraph(self, eqn, sub, invals, mode, obs_states, analyzers,
-                      encodings, learn_range):
+                      encodings, learn_range, capture=None, captured=None,
+                      product_names=None):
         """Execute a control-flow (or inlined-call) eqn with quantizer
         interception inside its body.
 
@@ -425,7 +433,7 @@ class QuantizationSimModel:
         qc_quantize_recurrent.py:417-520).
         """
         kind = sub["kind"]
-        names = self._sub_act_names[id(eqn)]
+        names = self._sub_act_names.get(id(eqn), [])
         observing = mode == "observe" and analyzers is not None
 
         if kind == "call":
@@ -434,7 +442,8 @@ class QuantizationSimModel:
             consts = closed.consts if hasattr(closed, "consts") else []
             outs = self._eval_jaxpr_hooked(
                 inner, consts, invals, mode, obs_states, analyzers,
-                encodings, learn_range)
+                encodings, learn_range, capture=capture, captured=captured,
+                product_names=product_names)
             return outs, obs_states
 
         if kind == "scan":

@@ -94,11 +94,54 @@ def main():
     print("# all results (TFLOP/s): " + json.dumps(
         {k: round(v, 2) for k, v in results.items()}), file=sys.stderr)
 
+    # --- decode shape (M=16): weight-only kernels' home turf — report the
+    # HBM-bandwidth-bound speedup vs bf16 (VERDICT r1 #3: the bandwidth
+    # claim must be driver-recorded, not just bench_serving)
+    m_dec = 16
+    # bf16 decode matmul ~40us/call: chain thousands for >=200ms signal
+    dec_n0, dec_n1 = 256, 6400
+
+    def dec_slope(make_chain):
+        times = {}
+        for n in (dec_n0, dec_n1):
+            f = make_chain(n)
+            x0 = jnp.ones((m_dec, K), jnp.bfloat16)
+            np.asarray(f(x0)[0:1, 0:1])
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                np.asarray(f(x0)[0:1, 0:1])
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+        return max((times[dec_n1] - times[dec_n0]) / (dec_n1 - dec_n0), 1e-9)
+
+    t_dbf = dec_slope(chain(lambda a: jnp.dot(
+        a, w_bf, preferred_element_type=jnp.float32)))
+    t_dw8 = dec_slope(chain(lambda a: matmul_w8(
+        a, wq8, s8, block_m=16, block_n=1024, block_k=1024,
+        out_dtype=jnp.bfloat16)))
+    t_dw4 = dec_slope(chain(lambda a: matmul_w4(
+        a, wp4, s4, block_m=16, block_n=1024, block_k=1024,
+        out_dtype=jnp.bfloat16)))
+    t_dw4g = dec_slope(chain(lambda a: matmul_w4_grouped(
+        a, wp4g, s4g, group_size=128, block_m=16, block_n=1024,
+        block_k=1024, out_dtype=jnp.bfloat16)))
+    decode = {
+        "bf16_us": round(t_dbf * 1e6, 1),
+        "w8_gbps": round(K * N / t_dw8 / 1e9, 1),
+        "w8_vs_bf16": round(t_dbf / t_dw8, 2),
+        "w4_gbps": round(K * N / 2 / t_dw4 / 1e9, 1),
+        "w4_vs_bf16": round(t_dbf / t_dw4, 2),
+        "w4g_vs_bf16": round(t_dbf / t_dw4g, 2),
+    }
+    print("# decode (M=16): " + json.dumps(decode), file=sys.stderr)
+
     print(json.dumps({
         "metric": "fused_dequant_matmul_w8a8_tflops",
         "value": round(results["w8a8"], 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(results["w8a8"] / results["bf16_xla"], 3),
+        "decode_m16": decode,
     }))
 
 

@@ -182,3 +182,60 @@ class TestConvertOpReduction:
         out = reduce_convert_ops(sim, result, cands)
         assert out.converts_before == 0 and out.converts_after == 0
         assert out.assignment == result.group_bitwidths
+
+
+class TestAutoQuantCacheAndDiagnostics:
+    """VERDICT r1 #8: resumable AutoQuant via utils.cache + HTML report
+    (reference cache at adaround_weight.py:596; bokeh diagnostics at
+    v1/auto_quant.py:1278)."""
+
+    def _build(self, rng, eval_counter, cache_dir):
+        from aimet_tpu.algorithms.adaround import AdaroundParameters
+        from aimet_tpu.models.cnn import TinyCNN
+        model = TinyCNN()
+        v, x = init_model(model, (4, 8, 8, 1))
+        fn = lambda p, x: model.apply(p, x)
+        batches = [jnp.asarray(
+            np.random.RandomState(7).randn(4, 8, 8, 1).astype(np.float32))]
+        ref = model.apply(v, batches[0])
+
+        def eval_fn(forward):
+            eval_counter.append(1)
+            return -float(jnp.mean((forward(batches[0]) - ref) ** 2))
+
+        return AutoQuant(fn, (v, x), v, batches, eval_fn,
+                         quant_scheme="minmax", default_param_bw=4,
+                         adaround_params=AdaroundParameters(
+                             num_batches=1, num_iterations=40),
+                         cache_dir=cache_dir)
+
+    def test_resume_skips_completed_stages(self, rng, tmp_path):
+        calls1 = []
+        aq1 = self._build(rng, calls1, str(tmp_path))
+        r1 = aq1.optimize(allowed_accuracy_drop=0.0)
+
+        # a fresh run with the same cache dir must not re-run the fp32 /
+        # quantsim / cle evals (reference Cache.mark memoization): only the
+        # final uncached adaround eval executes again
+        calls2 = []
+        aq2 = self._build(rng, calls2, str(tmp_path))
+        r2 = aq2.optimize(allowed_accuracy_drop=0.0)
+        assert len(calls2) < len(calls1)
+        assert sum(1 for f in tmp_path.iterdir()
+                   if f.name.startswith("autoquant.")) >= 3
+        # identical numbers out of the cache
+        assert [s.accuracy for s in r2.history][:3] == \
+            [s.accuracy for s in r1.history][:3]
+        # adaround per-layer weights were cached too
+        assert any(".ada." in f.name for f in tmp_path.iterdir())
+
+    def test_html_diagnostics(self, rng, tmp_path):
+        calls = []
+        aq = self._build(rng, calls, None)
+        result = aq.optimize(allowed_accuracy_drop=1.0)
+        out = result.export_diagnostics(str(tmp_path / "aq.html"))
+        html = open(out).read()
+        assert "AutoQuant diagnostics" in html
+        assert result.best_stage in html
+        for s in result.history:
+            assert s.name in html

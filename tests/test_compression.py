@@ -153,3 +153,54 @@ def test_rank_cost_monotone():
     assert all(np.diff(costs) > 0)
     r_half = rank_for_comp_ratio(op, 0.5, "spatial_svd")
     assert spatial_svd_cost(op, r_half).mac <= 0.5 * layer_cost(op).mac
+
+
+def test_successive_svd_full_rank_exact(rng):
+    """SSVD at full (r, s) reproduces the conv exactly (ISVD.hpp:69-71
+    TYPE_SUCCESSIVE; three-layer 1x1 / kxk / 1x1 factorization)."""
+    from aimet_tpu.compression.svd import make_successive_svd_replacement
+    from aimet_tpu.graph.connected_graph import ConnectedGraph
+
+    model = SmallConvNet()
+    v, x = init_model(model, (1, 8, 8, 3))
+    fn = lambda v, x: model.apply(v, x)
+    g = ConnectedGraph(fn, (v, x))
+    op = next(o for o in g.ops if o.type == "conv")
+    import jax.tree_util as jtu
+    leaves = jtu.tree_leaves(v)
+    w = leaves[g._param_leaf_index[op.param_products["kernel"].param_path]]
+    bias = leaves[g._param_leaf_index[op.param_products["bias"].param_path]] \
+        if "bias" in op.param_products else None
+    kh, kw, I, O = w.shape[-4], w.shape[-3], w.shape[-2], w.shape[-1]
+    full_r, full_s = min(I * kh * kw, O), I
+    rep = make_successive_svd_replacement(op, w, bias, full_r, full_s)
+    xs = jnp.asarray(rng.randn(1, 8, 8, 3).astype(np.float32))
+    from aimet_tpu.graph.interpreter import evaluate_with_replacements
+    got = evaluate_with_replacements(g, v, (xs,), {op.name: rep})
+    want = fn(v, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_successive_svd_cost_and_compress(rng):
+    from aimet_tpu.compression.cost import (layer_cost,
+                                            ranks_for_comp_ratio_ssvd,
+                                            successive_svd_cost)
+    from aimet_tpu.compression.compressor import ModelCompressor
+    from aimet_tpu.graph.connected_graph import ConnectedGraph
+
+    model = SmallConvNet()
+    v, x = init_model(model, (2, 8, 8, 3))
+    fn = lambda v, x: model.apply(v, x)
+    g = ConnectedGraph(fn, (v, x))
+    op = next(o for o in g.ops if o.type == "conv")
+    r, s = ranks_for_comp_ratio_ssvd(op, 0.5)
+    assert successive_svd_cost(op, r, s).mac <= 0.5 * layer_cost(op).mac
+
+    conv_names = [o.name for o in g.ops if o.type == "conv"]
+    model_c, stats = ModelCompressor.compress_model(
+        fn, (v, x), v, "successive_svd",
+        manual_ratios={n: 0.5 for n in conv_names})
+    out = model_c(v, jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+    assert stats.mac_compression_ratio < 1.0

@@ -47,7 +47,10 @@ class TestWinnow:
         fn = lambda v, x: model.apply(v, x)
         g = ConnectedGraph(fn, (v, x))
         reduced, reps = winnow_model(g, v, {"conv_1": [0, 5, 7]})
-        assert set(reps) == {"conv_0", "conv_1"}
+        # conv_0 (writer) and conv_1 (reader) slice; the relu between is
+        # rebuilt shape-polymorphically
+        assert {"conv_0", "conv_1"} <= set(reps)
+        assert not reduced.plan.fallbacks
         out = reduced(v, x)
         assert out.shape == (2, 8, 8, 8)
         assert np.isfinite(np.asarray(out)).all()
