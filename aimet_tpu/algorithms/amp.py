@@ -43,16 +43,59 @@ class QuantizerGroup:
                 + len(self.param_quantizers) * cand.param_bw)
 
 
+def _feeding_act_quantizer(sim: QuantizationSimModel, op) -> Optional[str]:
+    """The activation/input quantizer on the tensor feeding ``op``'s MAC,
+    walking upstream through single-input pass-through ops that carry no
+    quantizer of their own (the reference's ops_to_skip walk,
+    quantizer_groups.py:229-254)."""
+    if not op.inputs:
+        return None
+    prod = op.inputs[0]
+    hops = 0
+    while hops < 16:
+        q = sim._act_var_q.get(id(prod.var)) \
+            or sim._input_var_q.get(id(prod.var))
+        if q is not None:
+            return q
+        p = prod.producer
+        if p is None or len(p.inputs) != 1:
+            return None
+        if p.name in sim.quantizers:
+            return p.name
+        prod = p.inputs[0]
+        hops += 1
+    return None
+
+
 def find_quantizer_groups(sim: QuantizationSimModel) -> List[QuantizerGroup]:
-    """One group per graph op owning quantizers (amp/quantizer_groups.py:62)."""
-    groups = []
+    """Cross-op quantizer groups (amp/quantizer_groups.py:62-337): each
+    activation tensor's quantizer is grouped with the param quantizers of
+    every layer it feeds (through pass-through ops), so one candidate flip
+    moves the whole (activation, weights) pair entering a MAC — and shared
+    activations on branchy graphs are evaluated ONCE, not once per
+    consumer."""
+    group_of: Dict[str, QuantizerGroup] = {}
+    order: List[str] = []
+    for name, spec in sim.quantizers.items():
+        if spec.kind != "param":
+            group_of[name] = QuantizerGroup(name, [name], [])
+            order.append(name)
+
+    leftovers: List[QuantizerGroup] = []
     for op in sim.graph.ops:
-        acts = [op.name] if op.name in sim.quantizers else []
         params = [p.param_path for p in op.param_products.values()
                   if p.param_path in sim.quantizers]
-        if acts or params:
-            groups.append(QuantizerGroup(op.name, acts, params))
-    return groups
+        if not params:
+            continue
+        # a dedicated per-op input quantizer IS the feeding quantizer
+        feeder = (f"{op.name}_input"
+                  if f"{op.name}_input" in sim.quantizers else
+                  _feeding_act_quantizer(sim, op))
+        if feeder is not None and feeder in group_of:
+            group_of[feeder].param_quantizers.extend(params)
+        else:
+            leftovers.append(QuantizerGroup(f"{op.name}_params", [], params))
+    return [group_of[n] for n in order] + leftovers
 
 
 @dataclasses.dataclass

@@ -33,10 +33,14 @@ class TransformerConfig:
     rope_theta: float = 500000.0
     norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
+    # explicit head width (defaults to d_model // n_heads); set when n_heads
+    # is rescaled independently of d_model, e.g. per-shard configs under
+    # tensor parallelism (serving/multihost.make_shard_map_decode)
+    head_dim_override: int = 0
 
     @property
     def head_dim(self):
-        return self.d_model // self.n_heads
+        return self.head_dim_override or self.d_model // self.n_heads
 
     @classmethod
     def tiny(cls, vocab_size=256):

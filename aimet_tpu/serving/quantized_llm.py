@@ -37,8 +37,10 @@ from ..ops.kv_cache import (
 PROJ_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-# Below this many rows the matmul is overhead/bandwidth-bound and XLA's
-# fused int8->bf16 convert-matmul beats a pallas_call per projection.
+# Below this many rows the W8 matmul is overhead/bandwidth-bound and XLA's
+# fused int8->bf16 convert-matmul matches the pallas_call (r2 decode sweep:
+# 23.5us vs 23.7us at M=16). W4 is different: in-kernel nibble unpack beats
+# XLA's unpack-then-matmul at EVERY M (16.9us vs 27.1us at M=16, 1.6x).
 PALLAS_MIN_M = 256
 
 
@@ -47,12 +49,19 @@ def _use_pallas(m: int) -> bool:
 
 
 def _qmm(x2d, wq, scale, mode, allow_pallas=True):
-    use = allow_pallas and _use_pallas(x2d.shape[0])
+    m = x2d.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
     if mode == "w8":
-        fn = matmul_w8 if use else matmul_w8_xla
-    else:
-        fn = matmul_w4 if use else matmul_w4_xla
-    return fn(x2d, wq, scale)
+        use = allow_pallas and on_tpu and m >= PALLAS_MIN_M
+        return (matmul_w8 if use else matmul_w8_xla)(x2d, wq, scale)
+    if allow_pallas and on_tpu:
+        if m < PALLAS_MIN_M and wq.shape[0] >= 1024 and wq.shape[1] >= 1024:
+            # decode-tuned blocks (r2 sweep best at M=16: 16x1024x1024)
+            bm = max(8, min(128, -(-m // 8) * 8))
+            return matmul_w4(x2d, wq, scale, block_m=bm, block_n=1024,
+                             block_k=1024)
+        return matmul_w4(x2d, wq, scale)
+    return matmul_w4_xla(x2d, wq, scale)
 
 
 def quantize_transformer_weights(variables, cfg: TransformerConfig,

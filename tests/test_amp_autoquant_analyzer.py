@@ -30,12 +30,22 @@ def setup(rng):
 
 class TestAmp:
     def test_find_groups(self, setup):
+        """Cross-op merge (quantizer_groups.py:62-337): a layer's weight
+        quantizer is grouped with the activation quantizer FEEDING it, so a
+        candidate flips the whole MAC-input pair together."""
         _, _, sim, *_ = setup
         groups = find_quantizer_groups(sim)
         names = {g.name for g in groups}
         assert "linear_2" in names and "relu_0" in names
-        lin0 = next(g for g in groups if g.name == "linear_0")
-        assert len(lin0.param_quantizers) == 1
+        # relu_0 feeds linear_1: its group carries linear_1's weight
+        relu0 = next(g for g in groups if g.name == "relu_0")
+        assert any("kernel" in p for p in relu0.param_quantizers)
+        # every param quantizer lands in exactly one group
+        all_params = [p for g in groups for p in g.param_quantizers]
+        assert len(all_params) == len(set(all_params))
+        n_param_q = sum(1 for s in sim.quantizers.values()
+                        if s.kind == "param")
+        assert len(all_params) == n_param_q
 
     def test_set_bitwidth_recomputes(self, setup):
         _, _, sim, v, batches, eval_fn, ref = setup
