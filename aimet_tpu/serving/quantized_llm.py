@@ -55,12 +55,14 @@ def _qmm(x2d, wq, scale, mode, allow_pallas=True):
         use = allow_pallas and on_tpu and m >= PALLAS_MIN_M
         return (matmul_w8 if use else matmul_w8_xla)(x2d, wq, scale)
     if allow_pallas and on_tpu:
-        if m < PALLAS_MIN_M and wq.shape[0] >= 1024 and wq.shape[1] >= 1024:
+        if m >= PALLAS_MIN_M:
+            return matmul_w4(x2d, wq, scale)
+        if wq.shape[0] >= 1024 and wq.shape[1] >= 1024:
             # decode-tuned blocks (r2 sweep best at M=16: 16x1024x1024)
             bm = max(8, min(128, -(-m // 8) * 8))
             return matmul_w4(x2d, wq, scale, block_m=bm, block_n=1024,
                              block_k=1024)
-        return matmul_w4(x2d, wq, scale)
+    # small-M small-K decode: XLA's fused unpack-matmul is fine there
     return matmul_w4_xla(x2d, wq, scale)
 
 
