@@ -244,12 +244,14 @@ def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, nk):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=1024, block_k=1024,
+def matmul_w8a8(x, w_q, w_scale, *, block_m=512, block_n=1024, block_k=4096,
                 out_dtype=None):
     """Full-int8 path: dynamic per-row activation quant + int8 MXU matmul.
-    Default blocks tuned on v5e at M=1024, K=N=4096 (r2 sweep:
-    1024x1024x1024 = 297 TF/s > 1024x512x1024 = 277 > 512x2048x512 = 273 >
-    1024x1024x512 = 262; bigger blocks exceed the 16M scoped-vmem limit)."""
+    Default blocks tuned on v5e at M=1024, K=N=4096 (r2 ceiling probe:
+    K-unsplit 512x1024x4096 = 326 TF/s (~83% of 394 TOPS int8 peak) >
+    256x1024x4096 = 318 > 1024x1024x1024 = 304 — no k-revisit of the int32
+    accumulator and the epilogue runs once per block; VMEM 15M of the 16M
+    scoped limit)."""
     x_q, x_scale = quantize_activation_per_row(x)
     return matmul_q8(x_q, x_scale, w_q, w_scale, block_m=block_m,
                      block_n=block_n, block_k=block_k,
@@ -258,8 +260,8 @@ def matmul_w8a8(x, w_q, w_scale, *, block_m=1024, block_n=1024, block_k=1024,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=1024, block_n=1024,
-              block_k=1024, out_dtype=jnp.float32):
+def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=512, block_n=1024,
+              block_k=4096, out_dtype=jnp.float32):
     """int8 x int8 -> int32 MXU matmul with per-row x per-channel scale
     epilogue. ``x_q`` already int8 (dynamic path quantizes first; the
     static-encoding lowering path quantizes with frozen calibration

@@ -471,15 +471,19 @@ def _optimize_kl(hist, hist_min, hist_max, bitwidth, symmetric, strict, unsigned
         hist_min, hist_max = -amax, amax
 
     num_bins = hist.size
-    nqb = 255
-    if num_bins == 0 or num_bins < nqb or bitwidth != 8:
-        if bitwidth != 8 and num_bins:
+    # quantized-bin count at the target precision. The reference hardcodes
+    # 255 because its torch entry point only calls this at 8-bit
+    # (EntropyEncodingAnalyzer.cpp); generalizing to 2^bw - 1 makes KL
+    # calibration meaningful for every bitwidth the histogram can resolve.
+    nqb = (1 << bitwidth) - 1
+    if num_bins == 0 or num_bins < nqb:
+        if num_bins:
             import warnings
             warnings.warn(
-                f"entropy (KL) calibration only optimizes at bitwidth=8 "
-                f"(reference: EntropyEncodingAnalyzer.cpp quantized-bin "
-                f"count is fixed at 255); bitwidth={bitwidth} falls back "
-                f"to the full observed range", stacklevel=3)
+                f"entropy (KL) calibration needs a histogram with at least "
+                f"2^bw-1 = {nqb} bins (have {num_bins}); bitwidth="
+                f"{bitwidth} falls back to the full observed range",
+                stacklevel=3)
         return hist_min, hist_max
 
     bin_w = (hist_max - hist_min) / num_bins

@@ -207,3 +207,20 @@ class TestPerChannelHistogram:
         d = np.asarray(enc.delta)
         assert d.shape == (3,)
         assert d[0] < d[1] < d[2]
+
+
+def test_entropy_optimizes_at_low_bitwidths(rng):
+    """KL calibration generalized past the reference's hardcoded 8-bit
+    (EntropyEncodingAnalyzer.cpp nqb=255): at 4-bit a heavy-tailed
+    distribution must clip the range rather than fall back to min/max."""
+    import warnings
+
+    a = EncodingAnalyzer("entropy")
+    x = np.concatenate([rng.randn(20000).astype(np.float32),
+                        np.asarray([40.0], np.float32)])  # one huge outlier
+    st = a.update(a.init_state(), jnp.asarray(x))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")   # no fallback warning allowed
+        enc = a.compute(st, bitwidth=4, symmetric=False)
+    assert float(enc.max) < 20.0         # outlier clipped away
+    assert float(enc.max) > 1.0
