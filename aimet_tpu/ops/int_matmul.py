@@ -225,7 +225,8 @@ def matmul_w8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=1024,
     return out[:m0, :N]
 
 
-def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, nk):
+def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, nk,
+                 bias_ref=None):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -239,7 +240,16 @@ def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, nk):
     @pl.when(k == nk - 1)
     def _():
         scaled = acc_ref[:].astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+        if bias_ref is not None:
+            # fused per-column epilogue add (zero-point correction / bias)
+            scaled = scaled + bias_ref[:]
         out_ref[:] = scaled.astype(out_ref.dtype)
+
+
+def _w8a8_kernel_bias(x_ref, w_ref, sx_ref, sw_ref, bias_ref, out_ref,
+                      acc_ref, *, nk):
+    _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, nk=nk,
+                 bias_ref=bias_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
@@ -260,12 +270,16 @@ def matmul_w8a8(x, w_q, w_scale, *, block_m=512, block_n=1024, block_k=4096,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=512, block_n=1024,
-              block_k=4096, out_dtype=jnp.float32):
+def matmul_q8(x_q, x_scale, w_q, w_scale, col_bias=None, *, block_m=512,
+              block_n=1024, block_k=4096, out_dtype=jnp.float32):
     """int8 x int8 -> int32 MXU matmul with per-row x per-channel scale
     epilogue. ``x_q`` already int8 (dynamic path quantizes first; the
     static-encoding lowering path quantizes with frozen calibration
-    scales — quantsim/lowering.py mode='w8a8')."""
+    scales — quantsim/lowering.py mode='w8a8').
+
+    ``col_bias`` (N,) f32: fused per-column epilogue add — the static
+    path's zero-point correction (and/or layer bias) without an extra
+    full-tensor VPU pass."""
     M, K = x_q.shape
     _, N = w_q.shape
     block_m = min(block_m, max(32, M))
@@ -284,19 +298,32 @@ def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=512, block_n=1024,
     Np = w_q.shape[1]
     nk = Kp // block_k
 
+    operands = [x_q, w_q, sx, sw]
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j, k: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    fusion = [True, False, True, False]
+    kern = functools.partial(_w8a8_kernel, nk=nk)
+    if col_bias is not None:
+        cb = jnp.reshape(col_bias, (1, N)).astype(jnp.float32)
+        cb, _ = _pad_to(cb, block_n, 1)
+        operands.append(cb)
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j, k: (0, j),
+                                     memory_space=pltpu.VMEM))
+        fusion.append(False)
+        kern = functools.partial(_w8a8_kernel_bias, nk=nk)
+
     out = pl.pallas_call(
-        functools.partial(_w8a8_kernel, nk=nk),
+        kern,
         grid=(Mp // block_m, Np // block_n, nk),
-        in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
@@ -309,9 +336,9 @@ def matmul_q8(x_q, x_scale, w_q, w_scale, *, block_m=512, block_n=1024,
         # kernel's input DMA instead of materializing x_q in HBM
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            allow_input_fusion=[True, False, True, False]),
+            allow_input_fusion=fusion),
         interpret=_interpret(),
-    )(x_q, w_q, sx, sw)
+    )(*operands)
     return out[:m0, :N]
 
 

@@ -118,13 +118,14 @@ def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale,
         x_i8 = (q - 128.0).astype(jnp.int8)
         if use_pallas:
             rows = jnp.full((x2d.shape[0],), dx, jnp.float32)
-            acc = matmul_q8(x_i8, rows, wq_i8, w_scale,
-                            out_dtype=jnp.float32)
-        else:
-            acc_i = jax.lax.dot_general(
-                x_i8, wq_i8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc = acc_i.astype(jnp.float32) * dx * w_scale[None, :]
+            # zero-point correction rides the kernel's fused epilogue —
+            # no extra full-tensor VPU pass
+            return matmul_q8(x_i8, rows, wq_i8, w_scale, col_bias=cvec,
+                             out_dtype=jnp.float32)
+        acc_i = jax.lax.dot_general(
+            x_i8, wq_i8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc_i.astype(jnp.float32) * dx * w_scale[None, :]
         return acc + cvec[None, :]
 
     return mm

@@ -86,3 +86,86 @@ def visualize_calibration_histograms(sim, path: str, max_plots: int = 32):
     with open(path, "w") as f:
         f.write("<!doctype html><html><body><h1>Calibration histograms</h1>"
                 + "".join(blocks) + "</body></html>")
+
+
+def _svg_xy_curve(points, width=560, height=300, xlabel="", ylabel=""):
+    """Scatter+line SVG of (x, y) points (bokeh line/scatter stand-in)."""
+    if not points:
+        return "<svg/>"
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    sx = (width - 80) / max(x1 - x0, 1e-12)
+    sy = (height - 60) / max(y1 - y0, 1e-12)
+
+    def px(x):
+        return 60 + (x - x0) * sx
+
+    def py(y):
+        return height - 40 - (y - y0) * sy
+
+    path = " ".join(f"{'M' if i == 0 else 'L'}{px(x):.1f},{py(y):.1f}"
+                    for i, (x, y) in enumerate(points))
+    dots = "".join(f'<circle cx="{px(x):.1f}" cy="{py(y):.1f}" r="3" '
+                   f'fill="#4a90d9"/>' for x, y in points)
+    return (f'<svg width="{width}" height="{height}" '
+            f'xmlns="http://www.w3.org/2000/svg">'
+            f'<path d="{path}" stroke="#4a90d9" fill="none"/>{dots}'
+            f'<text x="{width // 2}" y="{height - 8}" font-size="12" '
+            f'text-anchor="middle">{html.escape(xlabel)}</text>'
+            f'<text x="14" y="{height // 2}" font-size="12" '
+            f'transform="rotate(-90 14 {height // 2})" '
+            f'text-anchor="middle">{html.escape(ylabel)}</text>'
+            f'<text x="58" y="{height - 24}" font-size="10">{x0:.3g}</text>'
+            f'<text x="{width - 36}" y="{height - 24}" font-size="10">'
+            f'{x1:.3g}</text>'
+            f'<text x="30" y="{height - 42}" font-size="10">{y0:.4g}</text>'
+            f'<text x="30" y="24" font-size="10">{y1:.4g}</text></svg>')
+
+
+def visualize_amp_pareto(amp_result, path: str) -> str:
+    """AMP pareto front (relative bit cost vs accuracy) + per-group
+    phase-1 eval-score table — the reference's bokeh pareto/eval plots
+    (mixed_precision_algo.py pareto front, plotting via bokeh_plots)."""
+    curve = _svg_xy_curve(sorted(amp_result.pareto_front),
+                          xlabel="relative bit cost", ylabel="accuracy")
+    rows = "".join(
+        f"<tr><td>{html.escape(g)}</td>"
+        f"<td>({c.act_bw}, {c.param_bw})</td><td>{score:.5f}</td></tr>"
+        for (g, c), score in sorted(amp_result.phase1_scores.items(),
+                                    key=lambda kv: kv[1]))
+    doc = f"""<!doctype html><html><head><title>AMP</title>
+<style>body{{font-family:sans-serif}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:4px 8px}}</style></head><body>
+<h1>AMP mixed-precision selection</h1>
+<p>baseline accuracy {amp_result.baseline_accuracy:.5f} &rarr; final
+{amp_result.final_accuracy:.5f}</p>
+<h2>Pareto front</h2>{curve}
+<h2>Phase-1 per-group candidate scores (low = sensitive)</h2>
+<table><tr><th>quantizer group</th><th>(act, param) bw</th><th>eval</th></tr>
+{rows}</table></body></html>"""
+    with open(path, "w") as f:
+        f.write(doc)
+    return path
+
+
+def visualize_compression_curves(eval_scores: Dict[str, Dict[float, float]],
+                                 path: str) -> str:
+    """Per-layer compression-ratio vs eval-score curves — the reference's
+    eval-score-table bokeh dashboard for greedy selection
+    (aimet_common/curve_fit.py + bokeh eval tables)."""
+    sections = []
+    for layer, scores in eval_scores.items():
+        pts = sorted(scores.items())
+        sections.append(f"<h3>{html.escape(layer)}</h3>"
+                        + _svg_xy_curve(pts, width=460, height=220,
+                                        xlabel="comp ratio",
+                                        ylabel="eval score"))
+    doc = ("<!doctype html><html><head><title>Compression curves</title>"
+           "<style>body{font-family:sans-serif}</style></head><body>"
+           "<h1>Greedy selection eval scores</h1>"
+           + "".join(sections) + "</body></html>")
+    with open(path, "w") as f:
+        f.write(doc)
+    return path

@@ -65,11 +65,18 @@ def parity_check():
     wp4, s4 = quantize_weight_int4(w)
     wp4g, s4g = quantize_weight_int4_grouped(w, group_size=128)
 
+    from aimet_tpu.ops.int_matmul import (matmul_q8,
+                                          quantize_activation_per_row)
+
+    xq, sxr = quantize_activation_per_row(x)
+    bias = jnp.asarray(rng.randn(n).astype(np.float32))
     checks = [
         ("w8", matmul_w8(x, wq8, s8, **blk), matmul_w8_xla(x, wq8, s8), 1e-4),
         ("w8a8", matmul_w8a8(x, wq8, s8, **blk),
          matmul_w8a8_xla(x, wq8, s8), 1e-3),
         ("w4", matmul_w4(x, wp4, s4, **blk), matmul_w4_xla(x, wp4, s4), 1e-4),
+        ("q8_bias", matmul_q8(xq, sxr, wq8, s8, bias, **blk),
+         matmul_q8(xq, sxr, wq8, s8, **blk) + bias[None, :], 1e-4),
     ]
     for name, got, ref, tol in checks:
         got, ref = np.asarray(got), np.asarray(ref)
@@ -130,8 +137,22 @@ def main():
     t_w4g = slope_time(chain(lambda a: matmul_w4_grouped(
         a, wp4g, s4g, group_size=128, out_dtype=jnp.bfloat16)))
 
+    # static-encoding w8a8: the DEPLOYMENT path (lowered models quantize
+    # activations with frozen calibration scales — no per-row max reduce,
+    # the quantize fuses into the kernel's input DMA). This is the number
+    # a lowered model's matmuls actually run at.
+    from aimet_tpu.quantization.affine import compute_encoding_from_min_max
+    from aimet_tpu.quantsim.lowering import _make_static_q8_mm
+
+    enc_in = compute_encoding_from_min_max(
+        jnp.float32(-4.0), jnp.float32(4.0), 8, False, False, False)
+    static_mm = _make_static_q8_mm(enc_in, wq8, s8)
+    t_static = slope_time(chain(
+        lambda a: static_mm(a.astype(jnp.float32))[:, :K]))
+
     tflops = lambda t: flops / t / 1e12
     results = {"bf16_xla": tflops(t_bf16), "w8a8": tflops(t_w8a8),
+               "w8a8_static": tflops(t_static),
                "w8": tflops(t_w8), "w4": tflops(t_w4),
                "w4_grouped": tflops(t_w4g)}
     print("# all results (TFLOP/s): " + json.dumps(
@@ -184,6 +205,7 @@ def main():
         "value": round(results["w8a8"], 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(results["w8a8"] / results["bf16_xla"], 3),
+        "static_w8a8_tflops": round(results["w8a8_static"], 2),
         "decode_m16": decode,
     }))
 

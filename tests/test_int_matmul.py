@@ -159,3 +159,18 @@ def test_w4_grouped_k_remainder_and_small_n(rng):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_q8_fused_col_bias(rng):
+    """matmul_q8 col_bias: fused per-column epilogue add (zero-point
+    correction path of the static w8a8 lowering)."""
+    from aimet_tpu.ops.int_matmul import matmul_q8
+
+    x = jnp.asarray(rng.randn(16, 256).astype(np.float32))
+    w = jnp.asarray(rng.randn(256, 256).astype(np.float32) * 0.1)
+    wq, sw = quantize_weight_per_channel(w)
+    xq, sx = quantize_activation_per_row(x)
+    bias = jnp.asarray(rng.randn(256).astype(np.float32))
+    want = np.asarray(matmul_q8(xq, sx, wq, sw, **BLK)) + np.asarray(bias)
+    got = np.asarray(matmul_q8(xq, sx, wq, sw, bias, **BLK))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
