@@ -12,3 +12,5 @@ from .gptq import GPTVQParameters, apply_gptq, apply_gptvq
 from .peft import LoraConfig, PeftQuantUtils, init_lora_params, lora_apply_fn
 from .bias_correction import correct_bias_analytical
 from .auto_quant import AutoQuantWithAutoMixedPrecision
+from .smooth_quant import (SmoothTarget, apply_smooth_quant,
+                           compute_smoothing_scales, find_smooth_targets)

@@ -342,6 +342,89 @@ def matmul_q8(x_q, x_scale, w_q, w_scale, col_bias=None, *, block_m=512,
     return out[:m0, :N]
 
 
+def _w8a8_fusedq_kernel(x_ref, w_ref, sw_ref, out_ref, xq_ref, sx_ref):
+    """Dynamic per-row activation quant INSIDE the kernel: at the first
+    N-block of each M-block, read the float x tile once, reduce the row
+    max, quantize to int8 into VMEM scratch; every N-block then runs the
+    int8 MXU dot against the cached codes. Saves the separate HBM
+    row-max + quantize pass of the two-step path (x is read once, as
+    float, instead of float-read + int8 write + int8 read)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        xq_ref[:] = jnp.clip(jnp.round(xf / scale), -127, 127
+                             ).astype(jnp.int8)
+        sx_ref[:] = scale
+
+    acc = jax.lax.dot_general(
+        xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[:] = (acc.astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+                  ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                             "out_dtype"))
+def matmul_w8a8_fusedq(x, w_q, w_scale, *, block_m=None, block_n=512,
+                       out_dtype=None):
+    """Full-int8 matmul with the dynamic per-row activation quantization
+    fused into the kernel itself (K unsplit; the whole row lives in VMEM,
+    so the row max needs no cross-block reduction). Numerics identical to
+    ``matmul_w8a8`` / ``matmul_w8a8_xla``."""
+    out_dtype = out_dtype or x.dtype
+    M, K = x.shape
+    _, N = w_q.shape
+    if block_m is None:
+        # the float (block_m, K) x tile is the VMEM hog; shrink the M
+        # block for wide inputs to stay inside the 16M scoped limit
+        block_m = 128 if x.dtype.itemsize >= 4 else 256
+    block_m = min(block_m, max(32, M))
+    block_n = min(block_n, -(-N // 128) * 128)
+    block_k = -(-K // 256) * 256
+
+    x, m0 = _pad_to(x, block_m, 0)
+    x, _ = _pad_to(x, block_k, 1)
+    w_q, _ = _pad_to(w_q, block_k, 0)
+    w_q, _ = _pad_to(w_q, block_n, 1)
+    sw = jnp.reshape(w_scale, (1, N)).astype(jnp.float32)
+    sw, _ = _pad_to(sw, block_n, 1)
+    Mp, Kp = x.shape
+    Np = w_q.shape[1]
+
+    out = pl.pallas_call(
+        _w8a8_fusedq_kernel,
+        grid=(Mp // block_m, Np // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, Kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, Kp), jnp.int8),
+                        pltpu.VMEM((block_m, 1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp * x.dtype.itemsize + Kp * Np + Mp * Np * 2,
+            transcendentals=0),
+        # j must run sequentially within each i: the quantized codes are
+        # produced at j == 0 and reused by the remaining N-blocks
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, w_q, sw)
+    return out[:m0, :N]
+
+
 def matmul_w4a8_xla(x, w_packed, w_scale, out_dtype=None):
     """Reference: dynamic per-row INT8 activations x split-half INT4 weights
     via two int8 MXU dots with int32 accumulation."""

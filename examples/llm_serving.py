@@ -17,6 +17,16 @@ def main():
     tokens = jnp.zeros((1, 8), jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), tokens)
 
+    # Optional (essential for W8A8 modes): fold per-channel activation
+    # outliers into the weights before quantizing — SmoothQuant, discovered
+    # automatically at the RMSNorm->qkv/mlp sites and float-exact.
+    from aimet_tpu.algorithms import apply_smooth_quant
+    rng0 = np.random.RandomState(1)
+    calib = [jnp.asarray(rng0.randint(0, 512, (1, 8)))]
+    fn = lambda p, t: model.apply(p, t)[0]
+    variables, _ = apply_smooth_quant(fn, (variables, tokens), variables,
+                                      calib, alpha=0.5)
+
     llm = QuantizedLLM(variables, cfg, mode="w4", max_len=64)
     batcher = ContinuousBatcher(llm, num_slots=4)
 
