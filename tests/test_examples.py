@@ -16,6 +16,7 @@ EXAMPLES = [
     "examples.llm_qat_kd",
     "examples.multihost_serving",
     "examples.torch_migration",
+    "examples.analysis_autoquant_amp",
 ]
 
 
