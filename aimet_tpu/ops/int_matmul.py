@@ -179,10 +179,11 @@ def _w8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, nk):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=1024,
+def matmul_w8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=4096,
               out_dtype=None):
     """x (M, K) float/bf16 @ w_q (K, N) int8 * w_scale (N,) -> (M, N).
-    Default blocks tuned on v5e at M=1024, K=N=4096 (157 TF/s)."""
+    Default blocks tuned on v5e at M=1024, K=N=4096 with the 100M VMEM
+    limit (K-unsplit 1024x512x4096 = 200.8 TF/s > 16M-limit best 157)."""
     out_dtype = out_dtype or x.dtype
     M, K = x.shape
     _, N = w_q.shape
@@ -219,7 +220,8 @@ def matmul_w8(x, w_q, w_scale, *, block_m=1024, block_n=512, block_k=1024,
             bytes_accessed=Mp * Kp * x.dtype.itemsize + Kp * Np + Mp * Np * 2,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, w_q, w_scale2)
     return out[:m0, :N]
@@ -254,24 +256,33 @@ def _w8a8_kernel_bias(x_ref, w_ref, sx_ref, sw_ref, bias_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w8a8(x, w_q, w_scale, *, block_m=512, block_n=1024, block_k=4096,
-                out_dtype=None):
+def matmul_w8a8(x, w_q, w_scale, *, block_m=None, block_n=None,
+                block_k=4096, out_dtype=None):
     """Full-int8 path: dynamic per-row activation quant + int8 MXU matmul.
-    Default blocks tuned on v5e at M=1024, K=N=4096 (r2 ceiling probe:
-    K-unsplit 512x1024x4096 = 326 TF/s (~83% of 394 TOPS int8 peak) >
-    256x1024x4096 = 318 > 1024x1024x1024 = 304 — no k-revisit of the int32
-    accumulator and the epilogue runs once per block; VMEM 15M of the 16M
-    scoped limit)."""
+
+    Routes to the in-kernel-quant kernel (``matmul_w8a8_fusedq``) whenever
+    the whole K row fits in VMEM — on v5e that path runs at 323.6 TF/s at
+    M=1024, K=N=4096, within 1% of the bare int8 kernel (326), because the
+    row-max + quantize happens in VMEM instead of as a separate HBM pass
+    (two-step path: 283). Falls back to quantize + ``matmul_q8`` for very
+    large K (K-split grid)."""
+    M, K = x.shape
+    if K <= 8192:
+        return matmul_w8a8_fusedq(
+            x, w_q, w_scale, block_m=block_m,
+            block_n=512 if block_n is None else block_n,
+            out_dtype=out_dtype or x.dtype)
     x_q, x_scale = quantize_activation_per_row(x)
-    return matmul_q8(x_q, x_scale, w_q, w_scale, block_m=block_m,
-                     block_n=block_n, block_k=block_k,
-                     out_dtype=out_dtype or x.dtype)
+    return matmul_q8(x_q, x_scale, w_q, w_scale,
+                     block_m=512 if block_m is None else block_m,
+                     block_n=1024 if block_n is None else block_n,
+                     block_k=block_k, out_dtype=out_dtype or x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_q8(x_q, x_scale, w_q, w_scale, col_bias=None, *, block_m=512,
-              block_n=1024, block_k=4096, out_dtype=jnp.float32):
+def matmul_q8(x_q, x_scale, w_q, w_scale, col_bias=None, *, block_m=1024,
+              block_n=512, block_k=4096, out_dtype=jnp.float32):
     """int8 x int8 -> int32 MXU matmul with per-row x per-channel scale
     epilogue. ``x_q`` already int8 (dynamic path quantizes first; the
     static-encoding lowering path quantizes with frozen calibration
@@ -336,7 +347,8 @@ def matmul_q8(x_q, x_scale, w_q, w_scale, col_bias=None, *, block_m=512,
         # kernel's input DMA instead of materializing x_q in HBM
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            allow_input_fusion=fusion),
+            allow_input_fusion=fusion,
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*operands)
     return out[:m0, :N]
@@ -379,9 +391,11 @@ def matmul_w8a8_fusedq(x, w_q, w_scale, *, block_m=None, block_n=512,
     M, K = x.shape
     _, N = w_q.shape
     if block_m is None:
-        # the float (block_m, K) x tile is the VMEM hog; shrink the M
-        # block for wide inputs to stay inside the 16M scoped limit
-        block_m = 128 if x.dtype.itemsize >= 4 else 256
+        # v5e sweep at M=1024, K=N=4096 (vmem_limit raised to 100M):
+        # 1024x512 = 323.6 TF/s > 512x1024 = 318 > 512x512 = 315 —
+        # within 1% of the bare int8 kernel (326) with the dynamic
+        # activation quantization INCLUDED
+        block_m = 1024
     block_m = min(block_m, max(32, M))
     block_n = min(block_n, -(-N // 128) * 128)
     block_k = -(-K // 256) * 256
@@ -523,7 +537,8 @@ def matmul_w4a8(x, w_packed, w_scale, *, block_m=512, block_n=1024,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            allow_input_fusion=[True, True, False, False, False]),
+            allow_input_fusion=[True, True, False, False, False],
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x_lo, x_hi, w_packed, sx, sw)
     return out[:m0, :N]
@@ -577,8 +592,8 @@ def _w4g_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, out_ref, acc_ref,
 
 @functools.partial(jax.jit, static_argnames=("group_size", "block_m",
                                              "block_n", "block_k", "out_dtype"))
-def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
-                      block_n=256, block_k=1024, out_dtype=None):
+def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=1024,
+                      block_n=1024, block_k=2048, out_dtype=None):
     """Group-wise INT4 fused dequant-matmul (split-half packing).
 
     scales (K/group_size, N); the dequant (scale applied per K-group before
@@ -638,7 +653,8 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
             flops=2 * Mp * N * K, bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x_lo, x_hi, w_packed, s_lo, s_hi)
     return out[:m0, :N]
@@ -646,12 +662,13 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=512,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
-def matmul_w4(x, w_packed, w_scale, *, block_m=1024, block_n=256, block_k=2048,
-              out_dtype=None):
+def matmul_w4(x, w_packed, w_scale, *, block_m=1024, block_n=1024,
+              block_k=2048, out_dtype=None):
     """Weight-only INT4 (split-half packing): the two K-halves of x feed two
     MXU dots against the sign-extended nibbles — no in-kernel interleave.
     ``block_k`` is in packed rows (covers 2*block_k of K).
-    Default blocks tuned on v5e at M=1024, K=N=4096 (191 TF/s)."""
+    Default blocks tuned on v5e at M=1024, K=N=4096 with the 100M VMEM
+    limit (1024x1024x2048 = 204.1 TF/s)."""
     out_dtype = out_dtype or x.dtype
     M, K = x.shape
     N = w_packed.shape[1]
@@ -696,7 +713,8 @@ def matmul_w4(x, w_packed, w_scale, *, block_m=1024, block_n=256, block_k=2048,
             bytes_accessed=Mp * Kp2 * 2 * x.dtype.itemsize + Kp2 * Np + Mp * Np * 2,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x_lo, x_hi, w_packed, sw)
     return out[:m0, :N]

@@ -161,6 +161,22 @@ def test_w4_grouped_k_remainder_and_small_n(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_w8a8_fusedq_matches_xla(rng):
+    """In-kernel dynamic activation quant (the default w8a8 route):
+    bit-exact vs the XLA reference at f32 inputs, including non-multiple
+    shapes (M/K padding)."""
+    from aimet_tpu.ops.int_matmul import matmul_w8a8_fusedq
+
+    for (m, k, n) in [(64, 256, 256), (100, 300, 200), (8, 128, 128)]:
+        x = jnp.asarray(rng.randn(m, k).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.1)
+        wq, sw = quantize_weight_per_channel(w)
+        got = np.asarray(matmul_w8a8_fusedq(x, wq, sw, block_m=64,
+                                            block_n=128))
+        ref = np.asarray(matmul_w8a8_xla(x, wq, sw))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_q8_fused_col_bias(rng):
     """matmul_q8 col_bias: fused per-column epilogue add (zero-point
     correction path of the static w8a8 lowering)."""
