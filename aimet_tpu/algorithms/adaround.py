@@ -209,13 +209,20 @@ def apply_adaround(sim: QuantizationSimModel, params, data_batches: Sequence,
         encoding = sim.encodings[kpath]
 
         if cache_dir is not None:
+            import hashlib
             import os
 
             os.makedirs(cache_dir, exist_ok=True)
             cpath = os.path.join(cache_dir, f"{cache_key}.{op.name}.npz")
+            # content fingerprint of the INPUT weight: a resumed run whose
+            # base params changed (different CLE/baseline or calibration
+            # data) must not load stale rounded weights
+            w_fp = hashlib.sha1(np.asarray(w).tobytes()).hexdigest()[:16]
             if os.path.exists(cpath):
                 cached = np.load(cpath)
-                if tuple(cached["w"].shape) == tuple(jnp.shape(w)):
+                if (tuple(cached["w"].shape) == tuple(jnp.shape(w))
+                        and "w_fp" in cached
+                        and str(cached["w_fp"]) == w_fp):
                     new_params = set_leaves(
                         new_params, {kpath: jnp.asarray(cached["w"])})
                     sim.set_encoding(kpath, encoding, freeze=True)
@@ -240,6 +247,6 @@ def apply_adaround(sim: QuantizationSimModel, params, data_batches: Sequence,
         new_params = set_leaves(new_params, {kpath: w_ada})
         sim.set_encoding(kpath, encoding, freeze=True)
         if cache_dir is not None:
-            np.savez(cpath, w=np.asarray(w_ada))
+            np.savez(cpath, w=np.asarray(w_ada), w_fp=np.asarray(w_fp))
 
     return new_params

@@ -145,13 +145,22 @@ class AutoQuant:
 
     def _calibrated_eval(self, name: str, params):
         """Calibrate a sim on ``params`` and evaluate it, caching the
-        (encodings, accuracy) pair so a resumed run skips both."""
+        (encodings, accuracy) pair so a resumed run skips both. On a cache
+        miss the freshly calibrated sim is returned as-is (it carries the
+        analyzer/observer state that stat-dependent APIs like
+        ``set_bitwidth`` + ``recompute_encodings`` need); only a cache hit
+        rebuilds from the stored encodings."""
+        fresh = {}
+
         def run():
             sim = self._make_sim(params)
+            fresh["sim"] = sim
             return sim.export_encodings(), self._eval(sim, params)
 
         enc, acc = self._mark(name, run)
-        sim = self._make_sim(params, encodings=enc)
+        sim = fresh.get("sim")
+        if sim is None:  # cache hit: resume from the stored encodings
+            sim = self._make_sim(params, encodings=enc)
         return sim, acc
 
     def optimize(self, allowed_accuracy_drop: float = 0.0,

@@ -103,21 +103,37 @@ def _feature_axis(op: Op, prod) -> Optional[int]:
 
 
 class _Propagator:
-    """BFS removal-set propagation over (product, axis) nodes."""
+    """Fixpoint removal-set propagation over (product, axis) nodes.
+
+    Each node accumulates the removal indices expressed in ITS OWN channel
+    coordinate frame (``_seen``); a visit propagates only the not-yet-seen
+    delta. Because every transfer function (concat offset shifts, segment
+    splits, elementwise pass-through, layer slices) is index-wise, deltas
+    compose — so seeds whose channel spaces meet across a concat are
+    reconciled in the correct frame at every node, rather than by unioning
+    raw index sets across frames (the round-2 advisor's repro: a
+    concat-consumer seed and a segment-consumer seed naming the same
+    physical channel now slice BOTH segment writers consistently)."""
 
     def __init__(self, graph: ConnectedGraph):
         self.graph = graph
         # actions
         self.layer_slices: Dict[str, List[Tuple[str, int, np.ndarray]]] = {}
         self.rebuilt: Dict[str, str] = {}
-        self.affine: Dict[str, Tuple[int, np.ndarray]] = {}
-        self._visited: Set[Tuple[int, int]] = set()
+        # op name -> (axis, accumulated removal set, channel count)
+        self.affine: Dict[str, Tuple[int, Set[int], int]] = {}
+        # (var id, axis) -> removal indices already propagated through
+        self._seen: Dict[Tuple[int, int], Set[int]] = {}
         self._model_out_ids = {
             id(graph.resolve_var(v)) for v in graph.jaxpr.outvars
             if not isinstance(v, Literal)}
 
     # -- helpers ----------------------------------------------------------
     def _keep(self, n: int, remove: Set[int]) -> np.ndarray:
+        bad = sorted(c for c in remove if not 0 <= c < n)
+        if bad:
+            raise ValueError(
+                f"channel indices {bad} out of range for size-{n} axis")
         return np.asarray(sorted(set(range(n)) - remove))
 
     def _add_layer_slice(self, op: Op, role: str, axis: int,
@@ -163,8 +179,10 @@ class _Propagator:
                 if pp.shape not in ((), (1,)):
                     raise _Blocked(f"{op.name}: non-per-channel param")
             self.rebuilt[op.name] = "affine"
-            self.affine[op.name] = (
-                axis, self._keep(prod.shape[axis], remove))
+            # accumulate (removals may arrive in several deltas)
+            prev_ax, prev, _ = self.affine.get(op.name, (axis, set(), 0))
+            self.affine[op.name] = (axis, set(prev) | set(remove),
+                                    prod.shape[axis])
             self._visit(op.output, axis, remove)
             return
         if t in ELEMWISE and len(op.inputs) > 1:
@@ -294,24 +312,28 @@ class _Propagator:
 
     # -- graph walk -------------------------------------------------------
     def _visit(self, prod, axis: int, remove: Set[int]):
-        """Channels ``remove`` vanish from tensor ``prod`` along ``axis``:
-        reconcile its producer and every consumer (Split connectivity is
-        implicit: one product, all consumers)."""
+        """Channels ``remove`` (in ``prod``'s own frame) vanish from tensor
+        ``prod`` along ``axis``: reconcile its producer and every consumer
+        (Split connectivity is implicit: one product, all consumers). Only
+        the not-yet-propagated delta walks on, so repeated visits from
+        multiple seeds converge to a fixpoint."""
         key = (id(prod.var), axis)
-        if key in self._visited:
+        seen = self._seen.setdefault(key, set())
+        new = set(remove) - seen
+        if not new:
             return
-        self._visited.add(key)
+        seen |= new
         if id(self.graph.resolve_var(prod.var)) in self._model_out_ids \
                 or prod.var in set(self.graph.jaxpr.outvars):
             raise _Blocked(f"{prod.name}: model output cannot shrink")
         if prod.kind == "input":
             raise _Blocked(f"{prod.name}: model input cannot shrink")
         if prod.producer is not None:
-            self._through_op_upstream(prod.producer, axis, remove)
+            self._through_op_upstream(prod.producer, axis, new)
         elif prod.kind != "param":
             raise _Blocked(f"{prod.name}: no producer")
         for consumer in prod.consumers:
-            self._through_op_downstream(consumer, prod, axis, remove)
+            self._through_op_downstream(consumer, prod, axis, new)
 
 
 def plan_winnow(graph: ConnectedGraph,
@@ -332,6 +354,11 @@ def plan_winnow(graph: ConnectedGraph,
         remove = set(int(c) for c in remove)
         _, in_ax, _ = _conv_axes(op)
         n_in = op.param_products["kernel"].shape[in_ax]
+        bad = sorted(c for c in remove if not 0 <= c < n_in)
+        if bad:
+            raise ValueError(
+                f"cannot winnow {name}: channel indices {bad} out of range "
+                f"for {n_in} input channels")
         in_fax = _feature_axis(op, op.inputs[0])
         if in_fax is None:
             raise ValueError(
@@ -339,8 +366,8 @@ def plan_winnow(graph: ConnectedGraph,
                 f"(aliased input of shape {op.inputs[0].shape})")
         seeds.append((name, op, remove, in_ax, n_in, in_fax))
 
-    # pass 1: discover each seed's channel space; blocked seeds fall back
-    groups: List[dict] = []   # {"members": [...], "space": set, "remove": set}
+    # pass 1: vet each seed alone; blocked seeds fall back to a gather
+    active = []
     for name, op, remove, in_ax, n_in, in_fax in seeds:
         probe = _Propagator(graph)
         try:
@@ -352,39 +379,38 @@ def plan_winnow(graph: ConnectedGraph,
             plan.layer_slices.setdefault(name, []).append(
                 ("kernel", in_ax, plan.gathers[name]))
             continue
-        entry = {"members": [(name, op, in_ax, n_in)],
-                 "space": set(probe._visited), "remove": set(remove)}
-        # seeds sharing any (product, axis) node live in one channel space:
-        # their removals union (all users of the space shrink identically)
-        merged = [g for g in groups if g["space"] & entry["space"]]
-        for g in merged:
-            entry["members"] += g["members"]
-            entry["space"] |= g["space"]
-            entry["remove"] |= g["remove"]
-            groups.remove(g)
-        groups.append(entry)
+        active.append((name, op, remove, in_ax, n_in, in_fax))
 
-    # pass 2: propagate each group's combined removal set once
-    for g in groups:
+    # pass 2: ONE fixpoint propagation over all vetted seeds. Each seed's
+    # removal set enters in its own frame; shared channel spaces are
+    # reconciled per node by the delta accumulation (including frame
+    # translation through concat offsets), so no raw-index-set merging
+    # across coordinate frames ever happens.
+    while True:
         prop = _Propagator(graph)
-        for name, op, in_ax, n_in in g["members"]:
-            prop._add_layer_slice(op, "kernel", in_ax, n_in, g["remove"])
-        name0, op0, _, _ = g["members"][0]
-        in_fax0 = _feature_axis(op0, op0.inputs[0])
+        blocked = None
         try:
-            prop._visit(op0.inputs[0], in_fax0, g["remove"])
+            for name, op, remove, in_ax, n_in, in_fax in active:
+                prop._add_layer_slice(op, "kernel", in_ax, n_in, remove)
+                prop._visit(op.inputs[0], in_fax, remove)
         except _Blocked as e:  # pragma: no cover - pass 1 already vetted
-            for name, op, in_ax, n_in in g["members"]:
-                plan.fallbacks[name] = str(e)
-                keep = np.asarray(sorted(set(range(n_in)) - g["remove"]))
-                plan.gathers[name] = keep
-                plan.layer_slices.setdefault(name, []).append(
-                    ("kernel", in_ax, keep))
-            continue
-        for opn, slices in prop.layer_slices.items():
-            plan.layer_slices.setdefault(opn, []).extend(slices)
-        plan.rebuilt_ops.update(prop.rebuilt)
-        plan.affine_ops.update(prop.affine)
+            blocked = (name, op, remove, in_ax, n_in, str(e))
+        if blocked is None:
+            break
+        name, op, remove, in_ax, n_in, msg = blocked
+        plan.fallbacks[name] = msg
+        keep = np.asarray(sorted(set(range(n_in)) - remove))
+        plan.gathers[name] = keep
+        plan.layer_slices.setdefault(name, []).append(
+            ("kernel", in_ax, keep))
+        active = [s for s in active if s[0] != name]
+
+    for opn, slices in prop.layer_slices.items():
+        plan.layer_slices.setdefault(opn, []).extend(slices)
+    plan.rebuilt_ops.update(prop.rebuilt)
+    for opn, (axis, removeset, n) in prop.affine.items():
+        plan.affine_ops[opn] = (
+            axis, np.asarray(sorted(set(range(n)) - removeset)))
     return plan
 
 

@@ -222,3 +222,92 @@ def test_blocked_seed_falls_back_to_gather():
     out = reduced(v, x)
     assert np.asarray(out).shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class ConcatSharedSegmentNet(nn.Module):
+    """One consumer reads the concat OUTPUT, another reads a SEGMENT
+    directly — the two seeds' channel spaces meet at the segment but speak
+    different coordinate frames (round-2 advisor medium finding)."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = nn.Conv(8, (3, 3), padding="SAME", name="conv_a")(x)
+        b = nn.Conv(8, (3, 3), padding="SAME", name="conv_b")(x)
+        y = jnp.concatenate([a, b], axis=-1)
+        out1 = nn.Conv(4, (3, 3), padding="SAME", name="conv_cat")(y)
+        out2 = nn.Conv(4, (3, 3), padding="SAME", name="conv_seg")(b)
+        return out1 + out2
+
+
+def _conv_by_weight_shape(g, in_ch, out_ch):
+    for op in g.ops:
+        if op.type == "conv":
+            shp = op.param_products["kernel"].shape
+            if shp[2] == in_ch and shp[3] == out_ch:
+                yield op.name
+
+
+def test_concat_frame_merge_same_physical_channel():
+    """Seeds {concat-consumer: [8], segment-consumer: [0]} name the SAME
+    physical channel (segment b channel 0). The plan must slice conv_b once
+    and keep every frame consistent (previously: crashed with an lhs/rhs
+    feature-dim mismatch from raw index-set union across frames)."""
+    g, fn, v, x = _graph(ConcatSharedSegmentNet(), (2, 8, 8, 3))
+    cat_name = next(_conv_by_weight_shape(g, 16, 4))
+    seg_name = [n for n in _conv_by_weight_shape(g, 8, 4)][-1]
+    b_name = [n for n in _conv_by_weight_shape(g, 3, 8)][1]
+    a_name = [n for n in _conv_by_weight_shape(g, 3, 8)][0]
+
+    reduced, _ = winnow_model(g, v, {cat_name: [8], seg_name: [0]})
+    plan = reduced.plan
+    assert not plan.fallbacks, plan.fallbacks
+    # conv_b loses output channel 0; conv_a untouched
+    b_slices = dict(((r, ax), k) for r, ax, k in plan.layer_slices[b_name])
+    b_out = next(k for (r, ax), k in b_slices.items()
+                 if r == "kernel" and ax == 3)
+    assert set(range(8)) - set(b_out.tolist()) == {0}
+    assert a_name not in plan.layer_slices
+    out = reduced(v, x)
+    assert np.asarray(out).shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_concat_frame_merge_different_channels_closes_fixpoint():
+    """Seeds naming DIFFERENT physical channels of the shared segment: the
+    fixpoint must close — conv_b loses both, and BOTH consumers' kernels
+    slice both (each translated into its own frame)."""
+    g, fn, v, x = _graph(ConcatSharedSegmentNet(), (2, 8, 8, 3))
+    cat_name = next(_conv_by_weight_shape(g, 16, 4))
+    seg_name = [n for n in _conv_by_weight_shape(g, 8, 4)][-1]
+    b_name = [n for n in _conv_by_weight_shape(g, 3, 8)][1]
+
+    # concat ch 9 == b ch 1; seg ch 0 == b ch 0
+    reduced, _ = winnow_model(g, v, {cat_name: [9], seg_name: [0]})
+    plan = reduced.plan
+    assert not plan.fallbacks, plan.fallbacks
+    from functools import reduce as _reduce
+    b_out_slices = [k for r, ax, k in plan.layer_slices[b_name]
+                    if r == "kernel" and ax == 3]
+    b_out = _reduce(np.intersect1d, b_out_slices)
+    assert set(range(8)) - set(b_out.tolist()) == {0, 1}
+    # concat consumer drops concat channels 8 and 9 (b channels 0 and 1)
+    cat_slices = [k for r, ax, k in plan.layer_slices[cat_name]
+                  if r == "kernel" and ax == 2]
+    cat_keep = _reduce(np.intersect1d, cat_slices)
+    assert set(range(16)) - set(cat_keep.tolist()) == {8, 9}
+    seg_slices = [k for r, ax, k in plan.layer_slices[seg_name]
+                  if r == "kernel" and ax == 2]
+    seg_keep = _reduce(np.intersect1d, seg_slices)
+    assert set(range(8)) - set(seg_keep.tolist()) == {0, 1}
+    out = reduced(v, x)
+    assert np.asarray(out).shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_out_of_range_mask_raises():
+    """Out-of-range removal indices raise instead of being silently
+    dropped (round-2 advisor low finding)."""
+    g, fn, v, x = _graph(ConcatNet(), (2, 8, 8, 3))
+    convs = [op.name for op in g.ops if op.type == "conv"]
+    with pytest.raises(ValueError, match="out of range"):
+        plan_winnow(g, {convs[-1]: [16]})
