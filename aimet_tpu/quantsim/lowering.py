@@ -30,8 +30,8 @@ from jax import tree_util as jtu
 from ..graph.connected_graph import ConnectedGraph, Op
 from ..graph.interpreter import evaluate_with_replacements
 from ..ops.int_matmul import (matmul_q8, matmul_w4, matmul_w4_xla,
-                              matmul_w4a8, matmul_w4a8_xla,
-                              matmul_w8, matmul_w8_xla)
+                              matmul_w4a8, matmul_w4a8_xla, matmul_w8,
+                              matmul_w8_xla, matmul_w8a8_staticq)
 from ..quantization.affine import AffineEncoding, quantize_to_int
 
 
@@ -73,12 +73,10 @@ def _weight_int_and_scale(w, enc: AffineEncoding, channel_axis, bits: int,
 
 
 def _pack_int4_split_half(q_2d):
-    """(K, N) int codes in [-7, 7] -> split-half packed (K//2, N) int8
-    (same layout as ops.int_matmul.quantize_weight_int4)."""
-    K = q_2d.shape[0]
-    lo = q_2d[: K // 2] & 0xF
-    hi = (q_2d[K // 2:] & 0xF) << 4
-    return (lo | hi).astype(jnp.int8)
+    """(K, N) int codes in [-7, 7] -> split-half biased packed (K//2, N)
+    int8 (the canonical ops.int_matmul layout: lo nibble biased +8)."""
+    from ..ops.int_matmul import pack_int4_split_half
+    return pack_int4_split_half(q_2d)
 
 
 def _input_act_encoding(sim, op: Op):
@@ -112,16 +110,21 @@ def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale,
     steps = float(enc_in.num_steps)
     colsum = wq_i8.astype(jnp.float32).sum(axis=0)            # (N,)
     cvec = (128.0 + off) * colsum * dx * w_scale              # (N,)
+    scale_vec = dx * w_scale                                  # (N,)
 
     def mm(x2d):
+        if use_pallas:
+            # in-kernel static quantize (once per M-block) + fused
+            # zero-point-correction epilogue — the matmul_q8 +
+            # input-fusion path re-quantized the x tile per N-block
+            # (BENCH_r02: 301 vs 324 TF/s). Output in the activation
+            # dtype: an f32 out + post-kernel cast costs an extra
+            # full-tensor HBM pass for bf16 models.
+            return matmul_w8a8_staticq(
+                x2d, 1.0 / dx, off, steps, wq_i8, scale_vec, cvec,
+                out_dtype=x2d.dtype)
         q = jnp.clip(jnp.round(x2d / dx - off), 0.0, steps)
         x_i8 = (q - 128.0).astype(jnp.int8)
-        if use_pallas:
-            rows = jnp.full((x2d.shape[0],), dx, jnp.float32)
-            # zero-point correction rides the kernel's fused epilogue —
-            # no extra full-tensor VPU pass
-            return matmul_q8(x_i8, rows, wq_i8, w_scale, col_bias=cvec,
-                             out_dtype=jnp.float32)
         acc_i = jax.lax.dot_general(
             x_i8, wq_i8, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)

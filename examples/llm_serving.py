@@ -11,7 +11,7 @@ from aimet_tpu.models import Transformer, TransformerConfig
 from aimet_tpu.serving import ContinuousBatcher, QuantizedLLM
 
 
-def main():
+def main(num_requests: int = 6, max_new_tokens: int = 12):
     cfg = TransformerConfig.tiny(vocab_size=512)
     model = Transformer(cfg)
     tokens = jnp.zeros((1, 8), jnp.int32)
@@ -32,8 +32,8 @@ def main():
 
     rng = np.random.RandomState(0)
     reqs = [batcher.submit(list(rng.randint(0, 512, rng.randint(3, 10))),
-                           max_new_tokens=12)
-            for _ in range(6)]
+                           max_new_tokens=max_new_tokens)
+            for _ in range(num_requests)]
     steps = batcher.run_until_done()
     print(f"served {len(reqs)} requests in {steps} engine steps")
     for r in reqs[:3]:
