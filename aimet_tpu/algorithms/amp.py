@@ -27,9 +27,19 @@ from ..quantsim.qsim import QuantizationSimModel
 
 @dataclasses.dataclass(frozen=True)
 class Candidate:
-    """(activation_bw, param_bw) pair."""
+    """((act_bw, act_dtype), (param_bw, param_dtype)) — the reference's
+    CANDIDATE_WITH_DTYPE (aimet_common/defs.py:309 QuantizationDataType):
+    candidates may mix e.g. (8, 'int') activations with (16, 'float'), so
+    the standard INT8-vs-FP16 AMP recipe is expressible."""
     act_bw: int
     param_bw: int
+    act_dtype: str = "int"
+    param_dtype: str = "int"
+
+
+def fp16_candidate() -> Candidate:
+    """The reference's (16, float)/(16, float) AMP candidate."""
+    return Candidate(16, 16, "float", "float")
 
 
 @dataclasses.dataclass
@@ -123,9 +133,10 @@ class GreedyMixedPrecision:
 
     def _set_group(self, group: QuantizerGroup, cand: Candidate):
         for n in group.act_quantizers:
-            self.sim.set_bitwidth(n, cand.act_bw)
+            self.sim.set_quantizer_data_type(n, cand.act_dtype, cand.act_bw)
         for n in group.param_quantizers:
-            self.sim.set_bitwidth(n, cand.param_bw)
+            self.sim.set_quantizer_data_type(n, cand.param_dtype,
+                                             cand.param_bw)
 
     def _eval(self) -> float:
         return self.eval_fn(
@@ -228,18 +239,21 @@ def reduce_convert_ops(sim: QuantizationSimModel, result: AmpResult,
     groups = {g.name: g for g in find_quantizer_groups(sim)}
     assignment = dict(result.group_bitwidths)
 
-    def promote_candidate(cur: Candidate, act_bw: int) -> Optional[Candidate]:
+    def promote_candidate(cur: Candidate, act_key) -> Optional[Candidate]:
         """Candidate at the target act precision WITHOUT demoting params:
         prefer the same param_bw as currently assigned, else the smallest
-        param_bw that is still >= current."""
+        param_bw that is still >= current. Precision keys are
+        (bitwidth, dtype) so INT and FLOAT act candidates at the same
+        bitwidth are distinct boundaries."""
         pool = [c for c in candidates
-                if c.act_bw == act_bw and c.param_bw >= cur.param_bw]
+                if (c.act_bw, c.act_dtype) == act_key
+                and c.param_bw >= cur.param_bw]
         if not pool:
             return None
         return min(pool, key=lambda c: c.param_bw)
 
     def act_bw_map():
-        return {n: c.act_bw for n, c in assignment.items()
+        return {n: (c.act_bw, c.act_dtype) for n, c in assignment.items()
                 if groups[n].act_quantizers}
 
     ops_by_name = {op.name: op for op in sim.graph.ops}
@@ -311,7 +325,8 @@ def reduce_convert_ops(sim: QuantizationSimModel, result: AmpResult,
                     trial[n] = new_cand
                 if not promotable:
                     continue
-                trial_bw = {n: c.act_bw for n, c in trial.items()
+                trial_bw = {n: (c.act_bw, c.act_dtype)
+                            for n, c in trial.items()
                             if groups[n].act_quantizers}
                 n_conv = _count_convert_ops(sim, trial_bw)
                 cost = sum(groups[n].bit_cost(c) for n, c in trial.items())
@@ -326,9 +341,9 @@ def reduce_convert_ops(sim: QuantizationSimModel, result: AmpResult,
     for name, cand in assignment.items():
         g = groups[name]
         for n in g.act_quantizers:
-            sim.set_bitwidth(n, cand.act_bw)
+            sim.set_quantizer_data_type(n, cand.act_dtype, cand.act_bw)
         for n in g.param_quantizers:
-            sim.set_bitwidth(n, cand.param_bw)
+            sim.set_quantizer_data_type(n, cand.param_dtype, cand.param_bw)
     final_cost = sum(groups[n].bit_cost(c) for n, c in assignment.items())
     max_prec_cost = sum(g.bit_cost(candidates[0]) for g in groups.values())
     return ConvertOpResult(assignment, before,

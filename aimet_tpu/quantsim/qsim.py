@@ -53,6 +53,10 @@ class QuantizerSpec:
     percentile: float = 100.0
     channel_axis: Optional[int] = None
     enabled: bool = True
+    # QuantizationDataType parity (aimet_common/defs.py:309): 'float'
+    # simulates FP16 round-trip (bitwidth >= 16, fp_quantization.py:48) or
+    # FP8 fake-cast with a range-derived maxval (bitwidth 8, :127)
+    data_type: str = "int"      # 'int' | 'float'
     # blockwise (v2 block_size quantizer / GroupedBlockQuantizeDequantize)
     block_size: Optional[int] = None
     block_axis: int = 0
@@ -314,12 +318,34 @@ class QuantizationSimModel:
         return flat
 
     def _qdq(self, x, name, encodings, learn_range=False):
+        out = self._qdq_impl(x, name, encodings, learn_range)
+        flags = getattr(self, "_qdq_flags", None)
+        if flags is not None and name in flags:
+            # enable-flag sweep mode (quantized_fn_flagged): both branches
+            # are computed and selected, so ONE compiled program serves
+            # every enable/disable combination
+            return jnp.where(flags[name], out, x)
+        return out
+
+    def _qdq_impl(self, x, name, encodings, learn_range=False):
         spec = self.quantizers[name]
         enc = encodings[name]
         if isinstance(enc, AffineEncoding):
             emin, emax = enc.min, enc.max
         else:
             emin, emax = enc
+        if spec.data_type == "float":
+            from ..quantization import float_sim
+            if spec.bitwidth >= 16:
+                return float_sim.fake_cast_fp16(x)
+            # FP8: maxval derived from the calibrated range (per-channel
+            # where the encoding is per-channel)
+            maxval = jnp.maximum(jnp.abs(jnp.asarray(emin, jnp.float32)),
+                                 jnp.abs(jnp.asarray(emax, jnp.float32)))
+            maxval = jnp.maximum(maxval, 1e-8)
+            return float_sim.quantize_to_fp8(
+                x, maxval.reshape(-1) if jnp.ndim(maxval) else maxval,
+                channel_axis=spec.channel_axis if jnp.ndim(maxval) else None)
         if spec.block_size is not None:
             # blockwise: encodings are stored in blocked-keepdims shape and
             # broadcast against the blocked weight view directly
@@ -758,6 +784,38 @@ class QuantizationSimModel:
         self._encodings[name] = self.recompute_encoding(name, bitwidth)
         self.quantizers[name] = dataclasses.replace(spec, bitwidth=bitwidth)
 
+    def set_quantizer_data_type(self, name: str, data_type: str,
+                                bitwidth: Optional[int] = None):
+        """Switch a quantizer between 'int' and 'float' simulation
+        (QuantizationDataType, aimet_common/defs.py:309). 'float' at
+        bitwidth >= 16 simulates an FP16 round-trip; at bitwidth 8 an FP8
+        fake-cast whose maxval derives from the calibrated range. The
+        affine encoding is kept (recomputed when returning to 'int' at a
+        new bitwidth) so dtype flips are cheap — the AMP inner loop."""
+        if data_type not in ("int", "float"):
+            raise ValueError(f"data_type must be 'int'|'float': {data_type}")
+        spec = self.quantizers[name]
+        bw = spec.bitwidth if bitwidth is None else bitwidth
+        if spec.data_type == data_type and bw == spec.bitwidth:
+            return
+        needs_grid = (data_type == "int"
+                      and (bw != spec.bitwidth or spec.data_type != "int"))
+        self.quantizers[name] = dataclasses.replace(
+            spec, data_type=data_type, bitwidth=bw)
+        if needs_grid and name in self._encodings \
+                and name not in self._frozen:
+            can_recompute = (
+                (spec.kind == "param" and hasattr(self, "_calib_params"))
+                or (spec.kind != "param" and hasattr(self, "_analyzers")
+                    and name in self._analyzers))
+            if can_recompute:
+                self._encodings[name] = self.recompute_encoding(name, bw)
+            else:
+                # pre-calibration: drop the stale-grid encoding rather
+                # than fake-quantizing on the wrong grid; the next
+                # compute_encodings() pass rebuilds it at the new bw
+                del self._encodings[name]
+
     def set_param_blockwise(self, params, name: str, block_size: int,
                             axis: int = 0, bitwidth: int = 4,
                             symmetric: bool = True, lpbq: bool = False,
@@ -815,12 +873,68 @@ class QuantizationSimModel:
                 enc.pop(k, None)
         return self._run(params, args, "quantized", encodings=enc)[0]
 
+    def quantized_fn_flagged(self):
+        """One COMPILED forward for all enable/disable sweeps: returns
+        ``(apply_fn, names)`` where ``apply_fn(params, flags, *args)``
+        applies quantizer i only where ``flags[i]`` is True (flags: bool
+        (len(names),) array, traced — so QuantAnalyzer/AMP sensitivity
+        loops over hundreds of quantizers reuse a single jit compilation
+        instead of re-tracing the interpreter per quantizer)."""
+        if not self._encodings:
+            raise RuntimeError("call compute_encodings first")
+        names = sorted(n for n in self._encodings if n in self.quantizers)
+
+        def apply_fn(params, flags, *args):
+            self._qdq_flags = {n: flags[i] for i, n in enumerate(names)}
+            try:
+                out = self._run(params, args, "quantized",
+                                encodings=self._encodings)[0]
+            finally:
+                self._qdq_flags = None
+            return out
+
+        return apply_fn, names
+
+    def set_percentile_value(self, name: str, percentile: float):
+        """Per-quantizer percentile control (set_percentile_value,
+        v1/quantsim.py:478 / tensor_quantizer.py:386): only meaningful for
+        'percentile'-scheme quantizers; recomputes the encoding from the
+        retained calibration histogram when available."""
+        spec = self.quantizers[name]
+        if spec.scheme != "percentile":
+            raise ValueError(
+                f"set_percentile_value: quantizer {name!r} uses scheme "
+                f"{spec.scheme!r}, not 'percentile'")
+        if not 50.0 <= percentile <= 100.0:
+            raise ValueError(f"percentile must be in [50, 100]: {percentile}")
+        self.quantizers[name] = dataclasses.replace(
+            spec, percentile=percentile)
+        if hasattr(self, "_analyzers") and name in self._analyzers:
+            spec = self.quantizers[name]
+            analyzer = EncodingAnalyzer(
+                spec.scheme, channel_axis=None, percentile=percentile)
+            # percentile reads the same histogram state; only the clip
+            # fraction changes
+            self._analyzers[name] = analyzer
+            if name not in self._frozen:
+                self._encodings[name] = analyzer.compute(
+                    self._obs_states[name], bitwidth=spec.bitwidth,
+                    symmetric=spec.symmetric,
+                    strict_symmetric=spec.strict_symmetric,
+                    unsigned_symmetric=spec.unsigned_symmetric)
+
     def _dynamic_param_qdq(self, w, spec):
         """Recompute the param encoding from the live weights inside the
         traced graph (min-max scheme, jit-friendly) and fake-quant —
         StaticGridQuantWrapper's per-step training behavior
         (qc_quantize_op.py:771-777)."""
         from ..quantization.affine import gate_min_max, reduce_min_max
+        if spec.data_type == "float":
+            from ..quantization import float_sim
+            if spec.bitwidth >= 16:
+                return float_sim.fake_cast_fp16(w)
+            mv = float_sim.init_fp8_maxval_minmax(w, spec.channel_axis)
+            return float_sim.quantize_to_fp8(w, mv, spec.channel_axis)
         if spec.block_size is not None:
             from ..quantization.blockwise import _to_blocks
             wb = _to_blocks(w, spec.block_size, spec.block_axis)
@@ -901,6 +1015,8 @@ class QuantizationSimModel:
             offsets = [int(o) for o in np.asarray(enc.offset).reshape(-1)]
             enc_type = "PER_TENSOR" if len(deltas) == 1 else (
                 "PER_BLOCK" if spec.block_size is not None else "PER_CHANNEL")
+            if spec.data_type == "float":
+                return {"name": name, "dtype": "FLOAT", "bw": spec.bitwidth}
             return {
                 "name": name,
                 "dtype": "INT",
@@ -928,6 +1044,15 @@ class QuantizationSimModel:
             spec = self.quantizers[name]
             mins = np.asarray(enc.min).reshape(-1)
             maxs = np.asarray(enc.max).reshape(-1)
+            if spec.data_type == "float":
+                if spec.bitwidth >= 16:
+                    # FP16 entries carry no grid (v1/quantsim.py fp16 export)
+                    return [{"bitwidth": spec.bitwidth, "dtype": "float"}]
+                # FP8: min/max preserved so the maxval survives a round-trip
+                return [{
+                    "bitwidth": spec.bitwidth, "dtype": "float",
+                    "min": float(mins[i]), "max": float(maxs[i]),
+                } for i in range(mins.size)]
             deltas = np.asarray(enc.delta).reshape(-1)
             offsets = np.asarray(enc.offset).reshape(-1)
             return [{
@@ -1017,6 +1142,29 @@ class QuantizationSimModel:
             if name not in self.quantizers:
                 continue
             spec = self.quantizers[name]
+            if entries and all(
+                    str(e.get("dtype", "int")).lower() == "float"
+                    for e in entries):
+                bw = int(entries[0].get("bitwidth", 16))
+                self.quantizers[name] = dataclasses.replace(
+                    spec, data_type="float", bitwidth=bw)
+                spec = self.quantizers[name]
+                if not all("min" in e and "max" in e for e in entries):
+                    # FP16: no grid to restore; a placeholder encoding keeps
+                    # the quantizer active in the quantized forward
+                    self._encodings[name] = compute_encoding_from_min_max(
+                        jnp.float32(-1.0), jnp.float32(1.0), 8,
+                        spec.symmetric, spec.strict_symmetric,
+                        spec.unsigned_symmetric)
+                    continue
+                mins = jnp.asarray([e["min"] for e in entries], jnp.float32)
+                maxs = jnp.asarray([e["max"] for e in entries], jnp.float32)
+                if len(entries) == 1:
+                    mins, maxs = mins[0], maxs[0]
+                self._encodings[name] = compute_encoding_from_min_max(
+                    mins, maxs, 8, spec.symmetric, spec.strict_symmetric,
+                    spec.unsigned_symmetric)
+                continue
             if all("scale" in e and "offset" in e for e in entries):
                 # exact reconstruction from the stored grid
                 deltas = jnp.asarray([e["scale"] for e in entries], jnp.float32)
