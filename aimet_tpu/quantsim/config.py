@@ -40,6 +40,18 @@ AIMET_OP_TYPE_MAP = {
     "Cast": (),
     "Dropout": (),
     "Expand": (),
+    # QNN op-def names (backend-aware path; ParserModule op vocabulary)
+    "Conv2d": ("conv", "depthwise_conv"),
+    "DepthWiseConv2d": ("depthwise_conv",),
+    "TransposeConv2d": ("conv_transpose",),
+    "FullyConnected": ("linear",),
+    "ElementWiseAdd": ("add",),
+    "ElementWiseSubtract": ("sub",),
+    "ElementWiseMultiply": ("mul",),
+    "ElementWiseDivide": ("div",),
+    "PoolAvg2d": ("avgpool",),
+    "PoolMax2d": ("maxpool",),
+    "ReduceMean": ("mean",),
 }
 
 
