@@ -68,7 +68,7 @@ def test_arch_checker(tmp_path):
     g = ConnectedGraph(lambda v, x: model.apply(v, x), (v, x))
     results = ArchChecker.check_model(g)
     checks = {r.check for r in results}
-    assert "small_channels" in checks  # 8 channels < 32
+    assert "_check_conv_channel_larger_than_32" in checks  # 8 channels < 32
     out = tmp_path / "arch.html"
     ArchChecker.export_html(results, str(out))
     assert "Architecture check" in out.read_text()
@@ -140,3 +140,126 @@ def test_compression_curves_visualization(tmp_path):
         str(tmp_path / "curves.html"))
     txt = open(out).read()
     assert txt.count("<svg") == 2 and "conv_1" in txt
+
+
+class TestArchCheckerRules:
+    """Reference rule-catalog parity (VERDICT r2 missing #3):
+    arch_checker_rules.py:57-204 adapted to the JAX graph."""
+
+    def test_channel_multiple_and_minimum(self):
+        import flax.linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(24, (3, 3), padding="SAME")(x)   # not %32
+                x = nn.relu(x)
+                return nn.Conv(64, (3, 3), padding="SAME")(x)
+
+        m = Net()
+        v, x = init_model(m, (1, 8, 8, 3))
+        g = ConnectedGraph(lambda v, x: m.apply(v, x), (v, x))
+        res = ArchChecker.check_model(g)
+        by_check = {}
+        for r in res:
+            by_check.setdefault(r.check, []).append(r.op_name)
+        assert "_check_conv_channel_32_base" in by_check
+        assert "_check_conv_channel_larger_than_32" in by_check
+        assert "_check_mxu_lane_alignment" in by_check
+
+    def test_degrading_activation_and_intermediate_padding(self):
+        import flax.linen as nn
+        import jax
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(32, (3, 3), padding="SAME")(x)
+                x = nn.relu(x)
+                x = nn.Conv(32, (3, 3), padding="SAME")(x)   # padded chain
+                return jax.nn.silu(x)                        # degrading act
+
+        m = Net()
+        v, x = init_model(m, (1, 8, 8, 3))
+        g = ConnectedGraph(lambda v, x: m.apply(v, x), (v, x))
+        res = ArchChecker.check_model(g)
+        checks = {r.check for r in res}
+        assert "_activation_checks" in checks
+        pads = [r for r in res if r.check == "_check_intermediate_padding"]
+        assert pads and len(pads[0].structure) == 3
+
+    def test_standalone_bn_and_split_bn(self):
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                a = nn.Conv(8, (3, 3), padding="SAME")(x)
+                b = nn.Conv(8, (3, 3), padding="SAME")(x)
+                y = jnp.concatenate([a, b], axis=-1)
+                y = nn.BatchNorm(use_running_average=True)(y)  # behind concat
+                return nn.relu(y)
+
+        m = Net()
+        v, x = init_model(m, (1, 8, 8, 3))
+        g = ConnectedGraph(lambda v, x: m.apply(v, x), (v, x))
+        res = ArchChecker.check_model(g)
+        checks = {r.check for r in res}
+        assert "_check_foldable_bn_with_split" in checks
+        assert "_check_batch_norm_fold" in checks  # not conv->bn adjacent
+
+    def test_large_kernel_and_registry(self):
+        import flax.linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Conv(32, (11, 11), padding="SAME")(x)
+
+        m = Net()
+        v, x = init_model(m, (1, 16, 16, 3))
+        res = ArchChecker.check_model_arch(
+            lambda v, x: m.apply(v, x), (v, x))
+        assert any(r.check == "_check_large_kernel_efficiency" for r in res)
+
+        # user-registered rules run too (add_node_check parity)
+        from aimet_tpu.algorithms.arch_checker import CheckResult
+
+        def no_big_stride(op):
+            if max(op.attrs.get("window_strides", (1,))) > 2:
+                return CheckResult(op.name, "no_big_stride", "stride > 2")
+            return None
+
+        ArchChecker.add_node_check("conv", no_big_stride)
+        try:
+            class S(nn.Module):
+                @nn.compact
+                def __call__(self, x):
+                    return nn.Conv(32, (3, 3), strides=(4, 4))(x)
+
+            m2 = S()
+            v2, x2 = init_model(m2, (1, 16, 16, 3))
+            res2 = ArchChecker.check_model_arch(
+                lambda v, x: m2.apply(v, x), (v2, x2))
+            assert any(r.check == "no_big_stride" for r in res2)
+        finally:
+            ArchChecker._node_checks["conv"].remove(no_big_stride)
+
+    def test_html_report_has_structure_column(self, tmp_path):
+        import flax.linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(32, (3, 3), padding="SAME")(x)
+                x = nn.relu(x)
+                return nn.Conv(32, (3, 3), padding="SAME")(x)
+
+        m = Net()
+        v, x = init_model(m, (1, 8, 8, 3))
+        out = tmp_path / "arch.html"
+        ArchChecker.check_model_arch(lambda v, x: m.apply(v, x), (v, x),
+                                     result_path=str(out))
+        txt = out.read_text()
+        assert "failed check" in txt and "structure" in txt
