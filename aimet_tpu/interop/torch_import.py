@@ -318,6 +318,43 @@ class _TorchGraphFunction:
             return ("flatten", dict(start=m.start_dim, end=m.end_dim))
         if isinstance(m, (nn.Dropout, nn.Dropout2d, nn.Identity)):
             return ("identity", {})
+        if isinstance(m, (nn.LSTM, nn.GRU)):
+            # the fork's flagship model family (qc_quantize_recurrent.py:122,
+            # lib_changes/aimet_torch/quantsim.py:88-89 enables LSTM/GRU):
+            # land torch RNNs on our scan-based cells
+            # (quantsim/recurrent.py lstm_step/gru_step layout)
+            if getattr(m, "proj_size", 0):
+                raise NotImplementedError(
+                    f"from_torch: LSTM proj_size at '{name}'")
+            mode = "lstm" if isinstance(m, nn.LSTM) else "gru"
+            entry = {}
+            for layer in range(m.num_layers):
+                for rev in ([False, True] if m.bidirectional else [False]):
+                    sfx = f"l{layer}" + ("_reverse" if rev else "")
+                    wih = getattr(m, f"weight_ih_{sfx}")
+                    whh = getattr(m, f"weight_hh_{sfx}")
+                    sub = {"kernel": _to_jnp(wih.t().contiguous(),
+                                             self.dtype),
+                           "recurrent_kernel": _to_jnp(
+                               whh.t().contiguous(), self.dtype)}
+                    if m.bias:
+                        bih = _to_jnp(getattr(m, f"bias_ih_{sfx}"),
+                                      self.dtype)
+                        bhh = _to_jnp(getattr(m, f"bias_hh_{sfx}"),
+                                      self.dtype)
+                        if mode == "lstm":
+                            # both biases add into the same gate preact
+                            sub["bias"] = bih + bhh
+                        else:
+                            # GRU: b_hh sits inside the reset-gated term
+                            sub["bias"] = bih
+                            sub["recurrent_bias"] = bhh
+                    entry[sfx] = sub
+            self.params[name] = entry
+            return (mode, dict(num_layers=m.num_layers,
+                               bidirectional=m.bidirectional,
+                               batch_first=m.batch_first,
+                               hidden_size=m.hidden_size))
         if isinstance(m, nn.Softmax):
             return ("softmax", dict(dim=m.dim))
         if isinstance(m, nn.PReLU):
@@ -387,7 +424,68 @@ class _TorchGraphFunction:
             if name == "gelu":
                 return jax.nn.gelu(x, approximate=meta["kwargs"]["approximate"])
             return _ACTIVATIONS[name](x, **meta["kwargs"])
+        if kind in ("lstm", "gru"):
+            return self._run_rnn(kind, meta, p, args)
         raise AssertionError(kind)
+
+    @staticmethod
+    def _run_rnn(kind, meta, p, args):
+        """torch nn.LSTM/nn.GRU semantics on the scan-based cells
+        (quantsim/recurrent.py): per layer (and direction) one
+        ``lax.scan`` over time; returns (output, h_n) / (output,
+        (h_n, c_n)) exactly like torch."""
+        from ..quantsim.recurrent import gru_step, lstm_step
+
+        x = args[0]
+        if meta["batch_first"]:
+            x = jnp.swapaxes(x, 0, 1)               # (T, B, I)
+        T, B, _ = x.shape
+        H = meta["hidden_size"]
+        dirs = 2 if meta["bidirectional"] else 1
+        n_state = meta["num_layers"] * dirs
+
+        if len(args) > 1 and args[1] is not None:
+            if kind == "lstm":
+                h0, c0 = args[1]
+            else:
+                h0, c0 = args[1], None
+        else:
+            h0 = jnp.zeros((n_state, B, H), x.dtype)
+            c0 = jnp.zeros((n_state, B, H), x.dtype) \
+                if kind == "lstm" else None
+
+        def run_dir(sub, xseq, h, c):
+            if kind == "lstm":
+                def step(carry, x_t):
+                    hh, cc = carry
+                    hh, cc = lstm_step(sub, x_t, hh, cc)
+                    return (hh, cc), hh
+                (hT, cT), ys = jax.lax.scan(step, (h, c), xseq)
+                return ys, hT, cT
+            def step(hh, x_t):
+                hh = gru_step(sub, x_t, hh)
+                return hh, hh
+            hT, ys = jax.lax.scan(step, h, xseq)
+            return ys, hT, None
+
+        hs, cs = [], []
+        for layer in range(meta["num_layers"]):
+            outs = []
+            for d, rev in enumerate([False, True][:dirs]):
+                sfx = f"l{layer}" + ("_reverse" if rev else "")
+                idx = layer * dirs + d
+                xseq = x[::-1] if rev else x
+                ys, hT, cT = run_dir(p[sfx], xseq, h0[idx],
+                                     None if c0 is None else c0[idx])
+                outs.append(ys[::-1] if rev else ys)
+                hs.append(hT)
+                cs.append(cT)
+            x = outs[0] if dirs == 1 else jnp.concatenate(outs, axis=-1)
+        y = jnp.swapaxes(x, 0, 1) if meta["batch_first"] else x
+        h_n = jnp.stack(hs)
+        if kind == "lstm":
+            return y, (h_n, jnp.stack(cs))
+        return y, h_n
 
     @staticmethod
     def _flatten(x, start=0, end=-1):

@@ -55,11 +55,16 @@ def lstm_step(params, x_t, h, c):
 
 
 def gru_step(params, x_t, h):
-    """GRU cell: params = {kernel (I,3H), recurrent_kernel (H,3H), bias}."""
+    """GRU cell: params = {kernel (I,3H), recurrent_kernel (H,3H), bias,
+    optional recurrent_bias (3H,)}. The recurrent bias must stay separate
+    (torch semantics: n = tanh(W_in x + b_in + r*(W_hn h + b_hn)) — b_hn
+    sits INSIDE the reset-gated term, so it cannot merge into ``bias``)."""
     xz = x_t @ params["kernel"]
     hz = h @ params["recurrent_kernel"]
     if "bias" in params:
         xz = xz + params["bias"]
+    if "recurrent_bias" in params:
+        hz = hz + params["recurrent_bias"]
     xr, xu, xn = jnp.split(xz, 3, axis=-1)
     hr, hu, hn = jnp.split(hz, 3, axis=-1)
     r = jax.nn.sigmoid(xr + hr)

