@@ -245,3 +245,73 @@ class TestQuantizerEnableToggle:
         assert act in sim._encodings           # restored
         np.testing.assert_array_equal(
             np.asarray(sim.quantized_fn(v, batches[0])), out_q)
+
+
+def test_set_percentile_value_per_quantizer(rng):
+    """Per-quantizer percentile control (v1/quantsim.py:478): tightening
+    one quantizer's percentile narrows ITS encoding range only."""
+    import flax.linen as nn
+    from aimet_tpu.models.cnn import init_model
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(16)(x)
+            x = nn.relu(x)
+            return nn.Dense(4)(x)
+
+    m = Net()
+    v, _ = init_model(m, (4, 8))
+    fn = lambda v, x: m.apply(v, x)
+    # heavy-tailed data makes the percentile clip visible
+    x = jnp.asarray(rng.standard_t(2, (64, 8)).astype(np.float32))
+    sim = QuantizationSimModel(fn, (v, x), quant_scheme="percentile",
+                               percentile=100.0)
+    sim.compute_encodings(v, iter([(x,)]))
+    acts = [n for n, s in sim.quantizers.items()
+            if s.kind != "param" and n in sim.encodings]
+    name, other = acts[0], acts[1]
+    before = float(jnp.max(sim.encodings[name].max))
+    other_before = float(jnp.max(sim.encodings[other].max))
+    sim.set_percentile_value(name, 90.0)
+    after = float(jnp.max(sim.encodings[name].max))
+    assert after < before
+    assert float(jnp.max(sim.encodings[other].max)) == other_before
+    # non-percentile schemes refuse (reference restricts the setter)
+    sim2 = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+    sim2.compute_encodings(v, iter([(x,)]))
+    with pytest.raises(ValueError):
+        sim2.set_percentile_value(acts[0], 99.0)
+
+
+def test_quantized_fn_flagged_matches_subset(rng):
+    """The single-compilation flag sweep must agree with
+    quantized_fn_subset for every mask."""
+    import jax
+
+    import flax.linen as nn
+    from aimet_tpu.models.cnn import init_model
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(12)(x)
+            x = nn.relu(x)
+            return nn.Dense(4)(x)
+
+    m = Net()
+    v, _ = init_model(m, (4, 8))
+    fn = lambda v, x: m.apply(v, x)
+    x = jnp.asarray(rng.randn(8, 8).astype(np.float32) * 2)
+    sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+    sim.compute_encodings(v, iter([(x,)]))
+    apply_fn, names = sim.quantized_fn_flagged()
+    jitted = jax.jit(apply_fn)
+    rs = np.random.RandomState(0)
+    for _ in range(4):
+        mask = rs.rand(len(names)) > 0.5
+        want = sim.quantized_fn_subset(
+            v, x, enabled=[n for n, m_ in zip(names, mask) if m_])
+        got = jitted(v, jnp.asarray(mask), x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
