@@ -505,21 +505,27 @@ def _w4a8_kernel(xlo_ref, xhi_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref,
         out_ref[:] = scaled.astype(out_ref.dtype)
 
 
-def _w8a8_staticq_kernel(qp_ref, x_ref, w_ref, sv_ref, cb_ref, out_ref,
-                         xq_ref):
+def _w8a8_staticq_kernel(x_ref, w_ref, sv_ref, cb_ref, out_ref, xq_ref,
+                         *, inv_dx, shift, hi):
     """Deployment-mode w8a8: activations quantized in-kernel with the
-    FROZEN calibration encoding (qp = [1/delta, offset, num_steps] in
-    SMEM), once per M-block at j == 0 — unlike the ``matmul_q8`` +
-    allow_input_fusion path, which re-quantizes the x tile for every
-    N-block (the 301 vs 324 TF/s gap of BENCH_r02). Epilogue applies the
-    combined scale vector and the zero-point-correction/bias column."""
+    FROZEN calibration encoding, once per M-block at j == 0 — unlike the
+    ``matmul_q8`` + allow_input_fusion path, which re-quantizes the x
+    tile for every N-block (the 301 vs 324 TF/s gap of BENCH_r02).
+
+    The quantize params are COMPILE-TIME constants (frozen encodings are
+    constants at deployment): SMEM scalar operands measured ~17% slower,
+    and the folded signed form (one FMA + round + signed clip; exact for
+    integer offsets since round(a) - c == round(a - c)) beats the
+    unsigned-grid multi-step form by the same margin. Epilogue applies
+    the combined scale vector and the zero-point-correction/bias
+    column."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         xf = x_ref[:].astype(jnp.float32)
-        q = jnp.clip(jnp.round(xf * qp_ref[0] - qp_ref[1]), 0.0, qp_ref[2])
-        xq_ref[:] = (q - 128.0).astype(jnp.int8)
+        q = jnp.round(xf * inv_dx + shift)
+        xq_ref[:] = jnp.clip(q, -128.0, hi).astype(jnp.int8)
 
     acc = jax.lax.dot_general(
         xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
@@ -528,25 +534,26 @@ def _w8a8_staticq_kernel(qp_ref, x_ref, w_ref, sv_ref, cb_ref, out_ref,
                   ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                             "out_dtype"))
-def matmul_w8a8_staticq(x, inv_delta, offset, num_steps, w_q, scale_vec,
-                        col_bias, *, block_m=1024, block_n=512,
+@functools.partial(jax.jit, static_argnames=("inv_delta", "offset",
+                                             "num_steps", "block_m",
+                                             "block_n", "out_dtype"))
+def matmul_w8a8_staticq(x, w_q, scale_vec, col_bias, *, inv_delta, offset,
+                        num_steps, block_m=1024, block_n=512,
                         out_dtype=jnp.float32):
     """Static-encoding INT8 matmul: x quantized in-kernel on the frozen
     [0, num_steps] grid (q = round(x/delta) - offset), shifted to signed
     int8; epilogue out = acc * scale_vec + col_bias with scale_vec (N,) =
     delta_x * w_scale and col_bias (N,) carrying the zero-point correction
-    (and optionally the layer bias). K unsplit — the whole row in VMEM."""
+    (and optionally the layer bias). K unsplit — the whole row in VMEM.
+    ``inv_delta``/``offset``/``num_steps`` are STATIC (python floats): the
+    frozen encoding is a deployment-time constant, and baking it measured
+    ~17% faster than SMEM scalar operands on v5e."""
     M, K = x.shape
     _, N = w_q.shape
     block_m = min(block_m, max(32, M))
     block_n = min(block_n, -(-N // 128) * 128)
     block_k = -(-K // 256) * 256
 
-    qp = jnp.stack([jnp.asarray(inv_delta, jnp.float32).reshape(()),
-                    jnp.asarray(offset, jnp.float32).reshape(()),
-                    jnp.asarray(num_steps, jnp.float32).reshape(())])
     x, m0 = _pad_to(x, block_m, 0)
     x, _ = _pad_to(x, block_k, 1)
     w_q, _ = _pad_to(w_q, block_k, 0)
@@ -559,10 +566,12 @@ def matmul_w8a8_staticq(x, inv_delta, offset, num_steps, w_q, scale_vec,
     Np = w_q.shape[1]
 
     out = pl.pallas_call(
-        _w8a8_staticq_kernel,
+        functools.partial(_w8a8_staticq_kernel,
+                          inv_dx=float(inv_delta),
+                          shift=float(-offset - 128.0),
+                          hi=float(num_steps - 128.0)),
         grid=(Mp // block_m, Np // block_n),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((block_m, Kp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Kp, block_n), lambda i, j: (0, j),
@@ -584,7 +593,7 @@ def matmul_w8a8_staticq(x, inv_delta, offset, num_steps, w_q, scale_vec,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qp, x, w_q, sv, cb)
+    )(x, w_q, sv, cb)
     return out[:m0, :N]
 
 

@@ -107,6 +107,10 @@ def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale,
     on the TPU MXU."""
     dx = jnp.asarray(enc_in.delta, jnp.float32).reshape(())
     off = jnp.asarray(enc_in.offset, jnp.float32).reshape(())
+    # host-concrete copies for the staticq kernel's compile-time params
+    # (frozen encodings are deployment constants; lowering runs outside jit)
+    dx_f = float(np.asarray(enc_in.delta).reshape(()))
+    off_f = float(np.asarray(enc_in.offset).reshape(()))
     steps = float(enc_in.num_steps)
     colsum = wq_i8.astype(jnp.float32).sum(axis=0)            # (N,)
     cvec = (128.0 + off) * colsum * dx * w_scale              # (N,)
@@ -121,8 +125,8 @@ def _make_static_q8_mm(enc_in: AffineEncoding, wq_i8, w_scale,
             # dtype: an f32 out + post-kernel cast costs an extra
             # full-tensor HBM pass for bf16 models.
             return matmul_w8a8_staticq(
-                x2d, 1.0 / dx, off, steps, wq_i8, scale_vec, cvec,
-                out_dtype=x2d.dtype)
+                x2d, wq_i8, scale_vec, cvec, inv_delta=1.0 / dx_f,
+                offset=off_f, num_steps=steps, out_dtype=x2d.dtype)
         q = jnp.clip(jnp.round(x2d / dx - off), 0.0, steps)
         x_i8 = (q - 128.0).astype(jnp.int8)
         acc_i = jax.lax.dot_general(

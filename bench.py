@@ -99,9 +99,10 @@ def parity_check():
         ("q8_bias", matmul_q8(xq, sxr, wq8, s8, bias, **blk),
          matmul_q8(xq, sxr, wq8, s8, **blk) + bias[None, :], 1e-4),
         ("w8a8_staticq", matmul_w8a8_staticq(
-            x, 1.0 / dx, off, float(enc.num_steps), wq8, dx * s8, cvec,
+            x, wq8, dx * s8, cvec, inv_delta=float(1.0 / dx),
+            offset=float(off), num_steps=float(enc.num_steps),
             block_m=32, block_n=128, out_dtype=jnp.float32),
-         staticq_ref, 1e-3),
+         staticq_ref, 1e-2),
     ]
     for name, got, ref, tol in checks:
         got, ref = np.asarray(got), np.asarray(ref)
