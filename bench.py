@@ -220,8 +220,10 @@ def main():
     t_dw4 = dec_slope(chain(lambda a: matmul_w4(
         a, wp4, s4, block_m=16, block_n=1024, block_k=1024,
         out_dtype=jnp.bfloat16)))
+    # decode blocks swept on-chip (scripts/probe_w4g_decode.py):
+    # 2048x1024 = 481 GB/s > 1024x1024 = 471
     t_dw4g = dec_slope(chain(lambda a: matmul_w4_grouped(
-        a, wp4g, s4g, group_size=128, block_m=16, block_n=1024,
+        a, wp4g, s4g, group_size=128, block_m=16, block_n=2048,
         block_k=1024, out_dtype=jnp.bfloat16)))
     decode = {
         "bf16_us": round(t_dbf * 1e6, 1),

@@ -81,3 +81,29 @@ class TestQuantsimOnnxArtifact:
             assert k in tensor_names, k
         for k in enc["param_encodings"]:
             assert k in init_names, k
+
+
+def test_quantsim_over_loaded_onnx(tmp_path, rng):
+    """The aimet_onnx workflow in miniature: bring an ONNX model, run the
+    quantsim over it (reference: aimet_onnx/quantsim.py:140 builds an
+    InferenceSession + QcQuantizeOp; here load_onnx gives a pure JAX fn
+    and the quantizing interpreter does the rest)."""
+    from aimet_tpu.quantsim.qsim import QuantizationSimModel
+    model = TinyCNN(num_classes=4)
+    v, _ = init_model(model, (2, 8, 8, 1))
+    fn = lambda v, x: model.apply(v, x)
+    x = jnp.asarray(rng.randn(2, 8, 8, 1).astype(np.float32))
+    g = ConnectedGraph(fn, (v, x))
+    path = str(tmp_path / "m.onnx")
+    export_onnx(g, v, path)
+
+    ofn, oparams = load_onnx(path)
+    x_nchw = jnp.transpose(x, (0, 3, 1, 2))
+    sim = QuantizationSimModel(ofn, (oparams, x_nchw),
+                               quant_scheme="minmax")
+    sim.compute_encodings(oparams, iter([(x_nchw,)]))
+    q = np.asarray(sim.quantized_fn(oparams, x_nchw))
+    fp = np.asarray(ofn(oparams, x_nchw))
+    assert q.shape == fp.shape
+    err = np.mean((q - fp) ** 2) / (np.mean(fp ** 2) + 1e-12)
+    assert err < 5e-3, err
