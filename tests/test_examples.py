@@ -17,6 +17,7 @@ EXAMPLES = [
     "examples.multihost_serving",
     "examples.torch_migration",
     "examples.analysis_autoquant_amp",
+    "examples.backend_deploy",
 ]
 
 
