@@ -224,9 +224,12 @@ class AutoQuantWithAutoMixedPrecision(AutoQuant):
 
     def __init__(self, *args, amp_candidates=None, **kwargs):
         super().__init__(*args, **kwargs)
-        from .amp import Candidate
+        from .amp import Candidate, fp16_candidate
+        # default candidate ladder mirrors the reference's common recipe:
+        # (16, float) > (16, int) > the configured INT target
         self.amp_candidates = amp_candidates or [
-            Candidate(16, 16), Candidate(self.output_bw, self.param_bw)]
+            fp16_candidate(), Candidate(16, 16),
+            Candidate(self.output_bw, self.param_bw)]
 
     def optimize(self, allowed_accuracy_drop: float = 0.0,
                  fp32_accuracy: Optional[float] = None) -> AutoQuantResult:
