@@ -20,6 +20,8 @@ import numpy as np
 from ..models.transformer import TransformerConfig, apply_rope, rope_freqs
 from ..ops.int_matmul import (
     matmul_w4_xla,
+    matmul_w4a8,
+    matmul_w4a8_xla,
     matmul_w8_xla,
     matmul_w8,
     matmul_w4,
@@ -54,6 +56,13 @@ def _qmm(x2d, wq, scale, mode, allow_pallas=True):
     if mode == "w8":
         use = allow_pallas and on_tpu and m >= PALLAS_MIN_M
         return (matmul_w8 if use else matmul_w8_xla)(x2d, wq, scale)
+    if mode == "w4a8":
+        # compute-bound phases (prefill / large batch) ride the int8 MXU
+        # fusedq path (347 TF/s on v5e — above even w8a8); small-M decode
+        # stays weight-only-style dynamic-quant via the same kernel
+        if allow_pallas and on_tpu and m >= 32:
+            return matmul_w4a8(x2d, wq, scale)
+        return matmul_w4a8_xla(x2d, wq, scale)
     if allow_pallas and on_tpu:
         if m >= PALLAS_MIN_M:
             return matmul_w4(x2d, wq, scale)
@@ -70,10 +79,12 @@ def quantize_transformer_weights(variables, cfg: TransformerConfig,
                                  mode: str = "w8") -> Dict[str, Any]:
     """Convert flax params -> integer weights (+ fp norms/embeddings).
 
-    mode: 'w8' (INT8) or 'w4' (packed INT4), per-channel symmetric.
+    mode: 'w8' (INT8), 'w4' (packed INT4, weight-only) or 'w4a8'
+    (packed INT4 weights + dynamic INT8 activations on the int8 MXU),
+    per-channel symmetric.
     """
-    assert mode in ("w8", "w4")
-    quant = quantize_weight_per_channel if mode == "w8" else quantize_weight_int4
+    assert mode in ("w8", "w4", "w4a8")
+    quant = quantize_weight_per_channel if mode == "w8"         else quantize_weight_int4
     p = variables["params"]
     out = {"layers": [], "embed": p["embed"]["embedding"],
            "final_norm": p["final_norm"]["scale"],

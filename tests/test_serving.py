@@ -179,3 +179,30 @@ class TestNativeScheduler:
         r = b.submit([1, 2, 3], max_new_tokens=10, eos_id=eos)
         b.run_until_done(max_steps=50)
         assert r.done and r.generated[-1] == eos and len(r.generated) == 1
+
+
+def test_w4a8_serving_mode(rng):
+    """W4A8 serving: packed-INT4 weights + dynamic INT8 activations —
+    compute-bound phases (prefill) ride the int8 MXU fusedq path."""
+    from functools import partial
+
+    from aimet_tpu.models.transformer import Transformer, TransformerConfig
+    from aimet_tpu.ops.kv_cache import init_quantized_kv_cache
+    from aimet_tpu.serving.quantized_llm import (quantize_transformer_weights,
+                                                 quantized_forward)
+    cfg = TransformerConfig.tiny(vocab_size=128)
+    m = Transformer(cfg)
+    tok = jnp.asarray(rng.randint(0, 128, (2, 8)), jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    qw = quantize_transformer_weights(v, cfg, "w4a8")
+    caches = [init_quantized_kv_cache(2, 32, cfg.n_kv_heads, cfg.head_dim)
+              for _ in range(cfg.n_layers)]
+    logits, caches = quantized_forward(qw, cfg, tok, caches, 0,
+                                       prefill=True, mode="w4a8")
+    ref, _ = m.apply(v, tok, None, 0)
+    rel = float(np.mean((np.asarray(logits) - np.asarray(ref)) ** 2)
+                / np.mean(np.asarray(ref) ** 2))
+    assert rel < 0.05, rel
+    logits2, _ = quantized_forward(qw, cfg, tok[:, -1:], caches, 8,
+                                   prefill=False, mode="w4a8")
+    assert logits2.shape == (2, 1, 128)
