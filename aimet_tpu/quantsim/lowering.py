@@ -350,6 +350,11 @@ def lower_to_int(sim, params, mode: str = "w8",
             continue
         spec = sim.quantizers[kp.param_path]
         enc = sim._encodings[kp.param_path]
+        if spec.data_type == "float":
+            # AMP assigned this layer a float candidate: its weights must
+            # NOT be integer-quantized — it stays on the float path
+            skipped.append(op.name)
+            continue
         if not spec.symmetric:
             skipped.append(op.name)
             continue

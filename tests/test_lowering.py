@@ -355,3 +355,34 @@ def test_blockwise_export_and_recompute(rng, tmp_path):
     loaded = load_file(out)
     assert loaded["['w1'].int"].shape == (64, 32)
     assert loaded["['w1'].scale"].shape == (4 * 32,)
+
+
+def test_float_dtype_layers_stay_on_float_path(rng):
+    """A layer AMP assigned to FP16 must NOT be integer-lowered: its
+    weights stay float and the op is reported as skipped."""
+    import flax.linen as nn
+
+    from aimet_tpu.models.cnn import init_model
+    from aimet_tpu.quantsim.qsim import QuantizationSimModel
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(32)(x)
+            x = nn.relu(x)
+            return nn.Dense(8)(x)
+
+    m = Net()
+    v, _ = init_model(m, (4, 16))
+    fn = lambda v, x: m.apply(v, x)
+    x = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    sim = QuantizationSimModel(fn, (v, x), quant_scheme="minmax")
+    sim.compute_encodings(v, iter([(x,)]))
+    params = [n for n, s in sim.quantizers.items() if s.kind == "param"]
+    sim.set_quantizer_data_type(params[0], "float", 16)
+    low = lower_to_int(sim, v, mode="w8")
+    # the fp16-assigned layer skipped, the int layer lowered
+    assert len(low.lowered_ops) == 1 and len(
+        [s for s in low.skipped_ops if "linear" in s]) >= 1
+    y = low(v, x)
+    assert np.isfinite(np.asarray(y)).all()
