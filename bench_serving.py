@@ -124,14 +124,18 @@ def main():
     tps_bf16 = bench_bf16(cfg, variables)
     tps_w8 = bench_quantized(cfg, variables, "w8")
     tps_w4 = bench_quantized(cfg, variables, "w4")
+    tps_w4a8 = bench_quantized(cfg, variables, "w4a8")
 
     print(f"# decode tok/s  bf16={tps_bf16:.0f}  w8={tps_w8:.0f}  "
-          f"w4={tps_w4:.0f}", file=sys.stderr)
+          f"w4={tps_w4:.0f}  w4a8={tps_w4a8:.0f}", file=sys.stderr)
     print(json.dumps({
-        "metric": "decode_tokens_per_s_w4",
-        "value": round(tps_w4, 1),
+        "metric": "decode_tokens_per_s_w4a8",
+        "value": round(tps_w4a8, 1),
         "unit": "tok/s",
-        "vs_baseline": round(tps_w4 / tps_bf16, 3),
+        "vs_baseline": round(tps_w4a8 / tps_bf16, 3),
+        "w8_tps": round(tps_w8, 1),
+        "w4_tps": round(tps_w4, 1),
+        "bf16_tps": round(tps_bf16, 1),
     }))
 
 
