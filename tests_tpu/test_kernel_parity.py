@@ -46,3 +46,50 @@ def test_int_conv_matches_fp_on_chip():
             x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))))
     rel = np.mean((got - ref) ** 2) / np.mean(ref ** 2)
     assert np.isfinite(got).all() and rel < 5e-3, rel
+
+
+def test_w4_grouped_acc_path_on_chip():
+    """Grouped-INT4 decode variant (acc-applied scales + biased AND
+    extraction) vs the XLA reference — not covered by bench.parity_check
+    (which gates the weight-tile-scales path)."""
+    from aimet_tpu.ops.int_matmul import (matmul_w4_grouped,
+                                          matmul_w4_grouped_xla,
+                                          quantize_weight_int4_grouped)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(16, 2048).astype(np.float32))
+    w = jnp.asarray((rng.randn(2048, 256) * 0.1).astype(np.float32))
+    wp, s = quantize_weight_int4_grouped(w, group_size=128)
+    ref = np.asarray(matmul_w4_grouped_xla(x, wp, s, group_size=128,
+                                           out_dtype=jnp.float32))
+    got = np.asarray(matmul_w4_grouped(
+        x, wp, s, group_size=128, block_m=16, block_n=256, block_k=1024,
+        out_dtype=jnp.float32, acc_scales=True))
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    # MXU bf16-decomposed f32 dots put both sides ~1e-3 from exact
+    assert err < 1e-2, err
+
+
+def test_w8a8_staticq_bf16_on_chip():
+    """Static-encoding kernel with bf16 activations + bf16 out (the
+    serving configuration) vs the closed-form reference."""
+    from aimet_tpu.ops.int_matmul import (matmul_w8a8_staticq,
+                                          quantize_weight_per_channel)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(64, 512).astype(np.float32))
+    w = jnp.asarray((rng.randn(512, 256) * 0.1).astype(np.float32))
+    wq, s = quantize_weight_per_channel(w)
+    dx, off, steps = 4.0 / 255.0, -128.0, 255.0
+    colsum = wq.astype(jnp.float32).sum(axis=0)
+    cvec = (128.0 + off) * colsum * dx * s
+    got = np.asarray(matmul_w8a8_staticq(
+        x.astype(jnp.bfloat16), wq, dx * s, cvec, inv_delta=1.0 / dx,
+        offset=off, num_steps=steps, block_m=32, block_n=128,
+        out_dtype=jnp.float32))
+    xb = np.asarray(x.astype(jnp.bfloat16)).astype(np.float32)
+    q = np.clip(np.round(xb / dx - off), 0.0, steps)
+    xi = (q - 128.0).astype(np.int8)
+    acc = xi.astype(np.int32) @ np.asarray(wq).astype(np.int32)
+    ref = acc.astype(np.float32) * (dx * np.asarray(s))[None, :] \
+        + np.asarray(cvec)[None, :]
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 1e-2, err
