@@ -181,6 +181,13 @@ class _Propagator:
             self.rebuilt[op.name] = "affine"
             # accumulate (removals may arrive in several deltas)
             prev_ax, prev, _ = self.affine.get(op.name, (axis, set(), 0))
+            if prev and prev_ax != axis:
+                # two different channel axes reached the same affine op:
+                # the earlier removal indices would silently be
+                # reinterpreted in the new axis's frame
+                raise _Blocked(
+                    f"{op.name}: channel removals on conflicting axes "
+                    f"{prev_ax} and {axis}")
             self.affine[op.name] = (axis, set(prev) | set(remove),
                                     prod.shape[axis])
             self._visit(op.output, axis, remove)

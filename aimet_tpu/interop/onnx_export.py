@@ -265,11 +265,19 @@ class _Exporter:
         self.nodes.append(_node(
             "Tanh", [self._in_name(op.inputs[0])], [op.name], op.name))
 
+    @staticmethod
+    def _nhwc_axis(axis: int, nd: int) -> int:
+        """Remap an axis on a 4-D tensor from the JAX-side NHWC layout to
+        the exported NCHW layout (N0 H1 W2 C3 -> N0 C1 H2 W3). Non-4-D
+        tensors are exported unpermuted (axis normalized only)."""
+        axis = axis % nd
+        if nd == 4:
+            return {0: 0, 1: 2, 2: 3, 3: 1}[axis]
+        return axis
+
     def _emit_softmax(self, op: Op):
-        axis = op.attrs.get("axis", -1)
         nd = len(op.output.shape)
-        if axis in (-1, nd - 1):
-            axis = 1 if nd == 4 else nd - 1
+        axis = self._nhwc_axis(op.attrs.get("axis", -1), nd)
         self.nodes.append(_node(
             "Softmax", [self._in_name(op.inputs[0])], [op.name], op.name,
             {"axis": int(axis)}))
@@ -365,10 +373,8 @@ class _Exporter:
             f"onnx export: mean over axes {axes} ({op.name})")
 
     def _emit_concat(self, op: Op):
-        axis = op.attrs.get("dimension", -1)
         nd = len(op.output.shape)
-        if nd == 4 and axis in (3, -1):
-            axis = 1
+        axis = self._nhwc_axis(op.attrs.get("dimension", -1), nd)
         self.nodes.append(_node(
             "Concat", [self._in_name(p) for p in op.inputs], [op.name],
             op.name, {"axis": int(axis)}))

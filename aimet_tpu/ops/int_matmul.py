@@ -697,7 +697,7 @@ def matmul_w4a8_fusedq(x, w_packed, w_scale, *, block_m=1024, block_n=256,
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "out_dtype"))
 def matmul_w4a8(x, w_packed, w_scale, *, block_m=None, block_n=None,
-                block_k=512, out_dtype=None):
+                block_k=None, out_dtype=None):
     """W4A8: packed-INT4 weights x dynamically-quantized INT8 activations on
     the int8 MXU path (int32 accumulation) — the execution target of the
     reference's AdaRound W4A8 headline config (README.md:155-173), which it
@@ -705,16 +705,19 @@ def matmul_w4a8(x, w_packed, w_scale, *, block_m=None, block_n=None,
     per-channel scale epilogue. ``block_k`` is in packed rows.
 
     Routes to ``matmul_w4a8_fusedq`` (in-kernel activation quant, K unsplit)
-    when no explicit blocks are passed and the K row fits in VMEM."""
+    when no explicit blocks are passed and the K row fits in VMEM; any
+    explicitly passed block (incl. ``block_k``, matching ``matmul_w8a8``)
+    forces the K-split two-step path so caller tuning takes effect."""
     out_dtype = out_dtype or x.dtype
     M, K = x.shape
     N = w_packed.shape[1]
     K2 = w_packed.shape[0]
-    if block_m is None and block_n is None and K <= 8192:
+    if block_m is None and block_n is None and block_k is None and K <= 8192:
         return matmul_w4a8_fusedq(x, w_packed, w_scale,
                                   out_dtype=out_dtype)
     block_m = 512 if block_m is None else block_m
     block_n = 1024 if block_n is None else block_n
+    block_k = 512 if block_k is None else block_k
     x_q, x_scale = quantize_activation_per_row(x)
     block_m = min(block_m, max(32, M))
     block_k = min(block_k, -(-K2 // 256) * 256)
@@ -894,13 +897,17 @@ def matmul_w4_grouped(x, w_packed, scales, *, group_size=128, block_m=1024,
     g_per_half = K2 // group_size
     if acc_scales is None:
         acc_scales = M <= 64
-    if acc_scales and block_k // group_size < 8:
-        # the acc-path scale blocks are (block_k/group_size, block_n);
-        # Mosaic needs >= 8 sublanes — fall back to weight-tile scales
-        acc_scales = False
     block_m = min(block_m, max(8, M))
     block_k = min(block_k, K2)
     block_n = min(block_n, -(-N // 128) * 128)
+    if acc_scales and block_k // group_size < 8:
+        # the acc-path scale blocks are (block_k/group_size, block_n);
+        # Mosaic needs >= 8 sublanes — fall back to weight-tile scales.
+        # Checked AFTER the block_k = min(block_k, K2) clamp: a decode
+        # shape with K2 < 8*group_size must not pass the guard on the
+        # unclamped default block_k (it would fail Mosaic legality on
+        # real TPU only).
+        acc_scales = False
     assert block_k % group_size == 0
 
     x, m0 = _pad_to(x, block_m, 0)

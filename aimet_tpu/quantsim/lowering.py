@@ -12,10 +12,12 @@ Pallas kernels (ops/int_matmul.py, ops/int_conv.py):
 Every `linear` / `conv` op whose kernel has a **symmetric** encoding (the
 default param config) is replaced by an int kernel with weights quantized
 once through that frozen encoding — NOT re-quantized dynamically, so the
-lowered model is faithful to what the quantsim simulated. Ops that can't
-lower (asymmetric weights, depthwise/grouped conv, exotic dimension
-numbers) stay on the float path; activations between ops stay float
-(weight-only execution, the standard serving deployment).
+lowered model is faithful to what the quantsim simulated. Depthwise and
+grouped convs DO lower (via ``feature_group_count`` on the int-conv path,
+`_lower_conv` below); ops that can't lower (asymmetric weights,
+non-NHWC/HWIO layouts, negative padding, bitwidths above the kernel's)
+stay on the float path. In weight-only modes, activations between ops
+stay float (the standard serving deployment).
 """
 from __future__ import annotations
 
