@@ -204,8 +204,12 @@ int aimet_percentile_range(const double* xleft, const double* pdf,
       last = i;
     }
   }
+  // findOriginalRange semantics (math_functions.cpp:404-430): zero-
+  // included + MIN_RANGE floor (golden-vector checked)
   double mn = (first >= 0) ? xleft[first] : xleft[0];
   double mx = (last >= 0) ? xleft[last] : xleft[kPdfSize - 1];
+  mn = std::min(mn, 0.0);
+  mx = std::max(std::max(mx, 0.0), mn + kMinRange);
   if (percentile == 100.0) {
     out2[0] = mn;
     out2[1] = mx;
@@ -220,14 +224,17 @@ int aimet_percentile_range(const double* xleft, const double* pdf,
     acc += pdf[i];
     cdf[i] = acc;
   }
-  const double left_p = 1.0 - percentile / 100.0;
+  // thresholds in FLOAT like the reference
+  // (PercentileEncodingAnalyzer.cpp:178,190): a float32 threshold admits
+  // cdf values sitting exactly on k/N boundaries
+  const double left_p = (double)(1.0f - (float)percentile / 100.0f);
   for (int i = 0; i < kPdfSize; ++i) {
     if (cdf[i] >= left_p) {
       pmin = xleft[i];
       break;
     }
   }
-  const double right_p = percentile / 100.0;
+  const double right_p = (double)((float)percentile / 100.0f);
   for (int i = kPdfSize - 1; i >= 0; --i) {
     if (cdf[i] < right_p && xleft[i] < mx) {
       pmax = xleft[i] + width;
@@ -252,8 +259,12 @@ int aimet_mse_search(const double* xleft, const double* pdf, int bw,
       last = i;
     }
   }
+  // findOriginalRange semantics: zero-included + MIN_RANGE floor, THEN
+  // one extra bin on the max side (MseEncodingAnalyzer.cpp:148-150)
   double mn = (first >= 0) ? xleft[first] : xleft[0];
-  double mx = ((last >= 0) ? xleft[last] : xleft[kPdfSize - 1]) + width;
+  double mx = (last >= 0) ? xleft[last] : xleft[kPdfSize - 1];
+  mn = std::min(mn, 0.0);
+  mx = std::max(std::max(mx, 0.0), mn + kMinRange) + width;
 
   // aligned bin edges inside [mn, mx]
   std::vector<double> edges;

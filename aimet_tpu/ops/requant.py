@@ -62,6 +62,49 @@ def requant_scale_and_bias(
     return requant_scale, bias_q
 
 
+def get_rescaled_output_and_bias(
+    bias_in: np.ndarray,
+    weight_scale: np.ndarray,          # (C,) per-channel or (1,) per-tensor
+    input_scale: float,
+    out_encoding_delta: float,
+    out_encoding_offset: float,
+    bw: int = 8,
+    with_offset_wrap: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference-exact ``getRescaledOutputAndBias``
+    (spec_functions.cpp:99-156): returns (requant_scale, bias_sim) with the
+    reference's exact rounding order — per-channel snaps the bias to the
+    accumulator grid *before* the offset wrap, per-tensor rounds *after*
+    subtracting the wrap — and the final ``floor(x * 2^(8-bw))`` shift
+    simulating the HW's 16-bit bias path. Golden-vector-tested against
+    TestEncodingRescale.cpp (tests/test_reference_vectors.py)."""
+    if bw not in (8, 16):
+        raise ValueError("bw must be 8 or 16 (spec_functions.cpp:107)")
+    bias_in = np.asarray(bias_in, np.float64)
+    ws = np.atleast_1d(np.asarray(weight_scale, np.float64))
+    acc_scale = ws.max() * input_scale
+    shift = 2.0 ** (8 - bw)
+
+    def wrap(requant_scale):
+        return (out_encoding_offset / requant_scale) if with_offset_wrap \
+            else 0.0
+
+    if bias_in.shape[0] == ws.shape[0]:          # per-channel
+        acc_curr = ws * input_scale
+        requant_scale = acc_curr / out_encoding_delta
+        bias_sim = np.round(bias_in / acc_curr) * acc_curr
+        norm_ws = ws / ws.max()
+        bias_sim = bias_sim / norm_ws / acc_scale - wrap(requant_scale)
+        bias_sim = np.floor(bias_sim * shift)
+    elif ws.shape[0] == 1:                       # per-tensor
+        requant_scale = np.full_like(ws, acc_scale / out_encoding_delta)
+        bias_sim = np.round(bias_in / acc_scale - wrap(requant_scale[0]))
+        bias_sim = np.floor(bias_sim * shift)
+    else:
+        raise ValueError("weight_scale must be scalar or match bias length")
+    return (requant_scale.astype(np.float32), bias_sim.astype(np.float32))
+
+
 def requantize(acc: jax.Array, requant_scale: jax.Array, bias_q: jax.Array,
                out_offset: float, bitwidth: int = 8,
                signed: bool = False) -> jax.Array:

@@ -352,23 +352,27 @@ def _sqnr_search(xleft, pdf, bitwidth, symmetric, strict, unsigned):
 
 
 def _percentile_range(xleft, pdf, percentile):
-    """_computePercentileRange (PercentileEncodingAnalyzer.cpp:133-196)."""
-    nz = np.nonzero(pdf > 0)[0]
-    if nz.size == 0:
-        mn, mx = float(xleft[0]), float(xleft[-1])
-    else:
-        mn, mx = float(xleft[nz[0]]), float(xleft[nz[-1]])
+    """_computePercentileRange (PercentileEncodingAnalyzer.cpp:133-196).
+
+    The min/max range comes from findOriginalRange (zero-included,
+    MIN_RANGE-gated) and the percentile thresholds are computed in FLOAT32
+    like the C++ (``float leftPercentile = 1 - percentile / 100``) — the
+    float32 threshold admits cdf values that sit exactly on k/N boundaries,
+    shifting the selected bin by one vs a double threshold
+    (golden-vector checked: tests/test_reference_vectors.py
+    pct999_strict_nm2_1)."""
+    mn, mx = _find_range_of_aggregate_stats_original(xleft, pdf)
     if percentile == 100.0:
         return mn, mx
     width = float(xleft[1] - xleft[0])
     pct_min = float(xleft[0])
     pct_max = float(xleft[-1]) + width
     cdf = np.cumsum(pdf)
-    left_p = 1 - percentile / 100.0
+    left_p = float(np.float32(1.0) - np.float32(percentile) / np.float32(100.0))
     hit = np.nonzero(cdf >= left_p)[0]
     if hit.size:
         pct_min = float(xleft[hit[0]])
-    right_p = percentile / 100.0
+    right_p = float(np.float32(percentile) / np.float32(100.0))
     for i in range(PDF_SIZE - 1, -1, -1):
         if cdf[i] < right_p and xleft[i] < mx:
             pct_max = float(xleft[i]) + width
@@ -430,11 +434,20 @@ def _mse_search(xleft, pdf, bitwidth, symmetric, strict, unsigned):
 
 
 def _find_range_of_aggregate_stats_original(xleft, pdf):
-    """findOriginalRange (math_functions.cpp:404-430) — no zero-inclusion."""
+    """findOriginalRange (math_functions.cpp:404-430): first/last nonzero
+    bin edges, zero-included, with the 0.01 MIN_RANGE floor — golden-vector
+    checked (the zero-inclusion shifts the MSE analyzer's candidate grid
+    for all-nonnegative data; tests/test_reference_vectors.py
+    mse_unsigned_relu)."""
     nz = np.nonzero(pdf > 0)[0]
     if nz.size == 0:
-        return float(xleft[0]), float(xleft[-1])
-    return float(xleft[nz[0]]), float(xleft[nz[-1]])
+        mn, mx = float(xleft[0]), float(xleft[-1])
+    else:
+        mn, mx = float(xleft[nz[0]]), float(xleft[nz[-1]])
+    mn = min(mn, 0.0)
+    mx = max(mx, 0.0)
+    mx = max(mx, mn + 0.01)
+    return mn, mx
 
 
 def _condition_histogram(h):
