@@ -451,6 +451,31 @@ def export_onnx(graph: ConnectedGraph, params, path: str, *,
             + [op.name for op in graph.ops]}
 
 
+def build_model_bytes(nodes, initializers, inputs, outputs, *,
+                      producer: str = "aimet_tpu", opset: int = 13,
+                      model_name: str = "handbuilt") -> bytes:
+    """Assemble an ONNX ModelProto from explicit pieces — for constructing
+    third-party-style graphs (transformer blocks, unfolded RNN stages)
+    that exercise the on-ramp without the `onnx` package.
+
+    nodes: [(op_type, inputs, outputs, name, attrs)] tuples;
+    initializers: {name: np.ndarray}; inputs/outputs: [(name, shape)].
+    """
+    node_bytes = [_node(op, list(i), list(o), nm, at or None)
+                  for op, i, o, nm, at in nodes]
+    g = b"".join(_msg(1, n) for n in node_bytes)
+    g += _str(2, model_name)
+    g += b"".join(_msg(5, _tensor(n, np.ascontiguousarray(a)))
+                  for n, a in initializers.items())
+    g += b"".join(_msg(11, _value_info(n, s)) for n, s in inputs)
+    g += b"".join(_msg(12, _value_info(n, s)) for n, s in outputs)
+    model = _int(1, 8)
+    model += _str(2, producer)
+    model += _msg(7, g)
+    model += _msg(8, _str(1, "") + _int(2, opset))
+    return model
+
+
 def export_quantsim_onnx(sim, params, path: str, prefix: str) -> str:
     """The reference's full export artifact (v1/quantsim.py:486 export):
     ``<prefix>.onnx`` + ``<prefix>.encodings`` whose activation keys are

@@ -4,12 +4,19 @@ Two roles:
   * round-trip validation of `interop/onnx_export.py` artifacts — the
     tests parse the serialized bytes and execute them with jnp, comparing
     against the original JAX function (what a consumer toolchain does);
-  * an ONNX on-ramp for the supported op subset (Conv, Gemm, pools,
-    activations, elementwise, Concat, Flatten, GlobalAveragePool, Clip):
-    ``load_onnx(path)`` returns ``(fn, params)`` with
-    ``fn(params, *inputs)`` pure and jit-able — the aimet_onnx-style
-    entry point in miniature (reference: aimet_onnx/quantsim.py builds an
-    InferenceSession; here XLA is the session).
+  * an ONNX on-ramp (the aimet_onnx-style entry point; reference:
+    aimet_onnx/quantsim.py:487-524 builds an onnxruntime
+    InferenceSession — here XLA is the session): ``load_onnx(path)``
+    returns ``(fn, params)`` with ``fn(params, *inputs)`` pure and
+    jit-able. Supported ops: conv-net set (Conv, Gemm, pools,
+    activations, elementwise, Concat, Flatten, Clip, Pad,
+    BatchNormalization) + transformer set (MatMul, LayerNormalization,
+    Gelu/Erf, Softmax w/ axis, Slice/Split/Squeeze/Unsqueeze, ReduceMean,
+    Gather, Cast, Constant) + LSTM (uni/bidirectional, iofc gates,
+    lax.scan time loop).
+
+    Shape-operands (Slice starts/ends, Split sizes, axes tensors) must be
+    initializers or Constant outputs — data-dependent shapes cannot jit.
 
 The parser is a generic protobuf wire-format walker interpreting the
 stable onnx.proto3 field numbers.
@@ -82,12 +89,17 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     return name, arr
 
 
+def _signed64(v: int) -> int:
+    """Protobuf int64 varints are 64-bit two's complement."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _parse_attr(buf: bytes) -> Tuple[str, Any]:
     fs = _fields(buf)
     name = _get(fs, 1)[0].decode()
     floats = [struct.unpack("<f", struct.pack("<I", v))[0]
               for f, w, v in fs if f == 7 and w == 5]
-    ints = [int(v) for f, w, v in fs if f == 8 and w == 0]
+    ints = [_signed64(int(v)) for f, w, v in fs if f == 8 and w == 0]
     if ints:
         return name, ints
     if floats:
@@ -96,7 +108,7 @@ def _parse_attr(buf: bytes) -> Tuple[str, Any]:
         if f == 2 and w == 5:
             return name, struct.unpack("<f", struct.pack("<I", v))[0]
         if f == 3 and w == 0:
-            return name, int(v)
+            return name, _signed64(int(v))
         if f == 4 and w == 2:
             return name, v.decode()
         if f == 5 and w == 2:
@@ -179,15 +191,96 @@ def _pool(x, attrs, kind):
     return acc / (k[0] * k[1])
 
 
+def _static_ints(x) -> List[int]:
+    """Constant operand -> python ints (Slice/Split/axes operands must be
+    initializers or Constant outputs — data-dependent shapes can't jit)."""
+    arr = np.asarray(x)
+    if arr.ndim == 0:
+        return [int(arr)]
+    return [int(v) for v in arr]
+
+
+_CAST_DT = {1: jnp.float32, 6: jnp.int32, 7: jnp.int64, 9: jnp.bool_,
+            10: jnp.float16, 11: jnp.float64, 3: jnp.int8, 16: jnp.bfloat16}
+
+
+def _lstm(node, ins, a):
+    """ONNX LSTM (opset 7+ default activations f=Sigmoid g=Tanh h=Tanh),
+    iofc gate order, layout 0: X (T, B, I), W (D, 4H, I), R (D, 4H, H),
+    B (D, 8H). Returns (Y (T, D, B, H), Y_h (D, B, H), Y_c (D, B, H)).
+    Mirrors the reference's recurrent quantsim target semantics
+    (aimet_onnx rnn models; NightlyTests/onnx/test_rnn_quantsim.py)."""
+    X, W, R = ins[0], ins[1], ins[2]
+    hidden = R.shape[2]
+    n_dirs = W.shape[0]
+    B = ins[3] if len(ins) > 3 and ins[3] is not None else \
+        jnp.zeros((n_dirs, 8 * hidden), X.dtype)
+    T, batch, _ = X.shape
+    h0 = ins[5] if len(ins) > 5 and ins[5] is not None else \
+        jnp.zeros((n_dirs, batch, hidden), X.dtype)
+    c0 = ins[6] if len(ins) > 6 and ins[6] is not None else \
+        jnp.zeros((n_dirs, batch, hidden), X.dtype)
+
+    def run_dir(xs, w, r, b, h_init, c_init):
+        wb, rb = b[:4 * hidden], b[4 * hidden:]
+
+        def step(carry, x_t):
+            h, c = carry
+            gates = x_t @ w.T + h @ r.T + wb + rb
+            i, o, f, g = jnp.split(gates, 4, axis=-1)      # iofc order
+            i = jax.nn.sigmoid(i)
+            o = jax.nn.sigmoid(o)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        (h_l, c_l), ys = jax.lax.scan(step, (h_init, c_init), xs)
+        return ys, h_l, c_l
+
+    ys_f, h_f, c_f = run_dir(X, W[0], R[0], B[0], h0[0], c0[0])
+    if n_dirs == 1:
+        return ys_f[:, None], h_f[None], c_f[None]
+    ys_b, h_b, c_b = run_dir(X[::-1], W[1], R[1], B[1], h0[1], c0[1])
+    Y = jnp.stack([ys_f, ys_b[::-1]], axis=1)              # (T, 2, B, H)
+    return Y, jnp.stack([h_f, h_b]), jnp.stack([c_f, c_b])
+
+
 def _run_node(node, val):
     t = node["op_type"]
-    ins = [val[n] for n in node["inputs"]]
+    ins = [val[n] if n else None for n in node["inputs"]]
     a = node["attrs"]
     if t == "Conv":
         return _conv(ins[0], ins[1], ins[2] if len(ins) > 2 else None, a)
     if t == "Gemm":
-        y = ins[0] @ (ins[1].T if a.get("transB") else ins[1])
+        x = ins[0].T if a.get("transA") else ins[0]
+        y = x @ (ins[1].T if a.get("transB") else ins[1])
+        y = y * a.get("alpha", 1.0)
         if len(ins) > 2:
+            y = y + ins[2] * a.get("beta", 1.0)
+        return y
+    if t == "MatMul":
+        return jnp.matmul(ins[0], ins[1])
+    if t == "BatchNormalization":
+        # inference form: scale, B, mean, var along axis 1 (NCHW channel)
+        x, scale, b, mean, var = ins[:5]
+        shape = [1, -1] + [1] * (x.ndim - 2)
+        eps = a.get("epsilon", 1e-5)
+        return ((x - mean.reshape(shape))
+                * (scale.reshape(shape)
+                   * jax.lax.rsqrt(var.reshape(shape) + eps))
+                + b.reshape(shape))
+    if t == "LayerNormalization":
+        axis = a.get("axis", -1)
+        eps = a.get("epsilon", 1e-5)
+        x = ins[0]
+        axes = tuple(range(axis % x.ndim, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        y = y * ins[1]
+        if len(ins) > 2 and ins[2] is not None:
             y = y + ins[2]
         return y
     if t == "Relu":
@@ -196,12 +289,32 @@ def _run_node(node, val):
         return jax.nn.sigmoid(ins[0])
     if t == "Tanh":
         return jnp.tanh(ins[0])
+    if t == "Gelu":
+        approx = a.get("approximate", "none")
+        return jax.nn.gelu(ins[0], approximate=(approx == "tanh"))
+    if t == "Erf":
+        return jax.lax.erf(ins[0])
     if t == "Softmax":
         return jax.nn.softmax(ins[0], axis=a.get("axis", -1))
-    if t in ("Add", "Sub", "Mul", "Div", "Min", "Max"):
+    if t in ("Add", "Sub", "Mul", "Div", "Min", "Max", "Pow"):
         f = {"Add": jnp.add, "Sub": jnp.subtract, "Mul": jnp.multiply,
-             "Div": jnp.divide, "Min": jnp.minimum, "Max": jnp.maximum}[t]
+             "Div": jnp.divide, "Min": jnp.minimum, "Max": jnp.maximum,
+             "Pow": jnp.power}[t]
         return f(ins[0], ins[1])
+    if t == "Sqrt":
+        return jnp.sqrt(ins[0])
+    if t == "Neg":
+        return -ins[0]
+    if t == "Exp":
+        return jnp.exp(ins[0])
+    if t == "Log":
+        return jnp.log(ins[0])
+    if t == "Identity":
+        return ins[0]
+    if t == "Cast":
+        return ins[0].astype(_CAST_DT[int(a["to"])])
+    if t == "Constant":
+        return jnp.asarray(a["value"])
     if t == "Clip":
         lo = ins[1] if len(ins) > 1 else None
         hi = ins[2] if len(ins) > 2 else None
@@ -220,6 +333,89 @@ def _run_node(node, val):
         return ins[0].reshape([int(d) for d in np.asarray(ins[1])])
     if t == "Transpose":
         return jnp.transpose(ins[0], a["perm"])
+    if t == "Slice":
+        x = ins[0]
+        if len(ins) > 1:                       # opset 10+: operands
+            starts = _static_ints(ins[1])
+            ends = _static_ints(ins[2])
+            axes = _static_ints(ins[3]) if len(ins) > 3 and \
+                ins[3] is not None else list(range(len(starts)))
+            steps = _static_ints(ins[4]) if len(ins) > 4 and \
+                ins[4] is not None else [1] * len(starts)
+        else:                                  # opset 1: attributes
+            starts, ends = a["starts"], a["ends"]
+            axes = a.get("axes", list(range(len(starts))))
+            steps = [1] * len(starts)
+        idx = [slice(None)] * x.ndim
+        for s, e, ax, st in zip(starts, ends, axes, steps):
+            dim = x.shape[ax % x.ndim]
+            # ONNX clamps INT_MAX/INT_MIN-style bounds to the dim; for
+            # negative steps an effective end of -1 means "past element
+            # 0" = python stop=None
+            s = max(s + dim, 0) if s < 0 else min(s, dim)
+            if e < 0:
+                e = e + dim
+                e = None if (st < 0 and e < 0) else max(e, 0)
+            else:
+                e = min(e, dim)
+            idx[ax % x.ndim] = slice(s, e, st)
+        return x[tuple(idx)]
+    if t == "Split":
+        x = ins[0]
+        axis = a.get("axis", 0) % x.ndim
+        if len(ins) > 1 and ins[1] is not None:      # opset 13: operand
+            sizes = _static_ints(ins[1])
+        elif "split" in a:
+            sizes = a["split"]
+        else:
+            n = len(node["outputs"])
+            sizes = [x.shape[axis] // n] * n
+        offs = np.cumsum([0] + list(sizes))
+        return tuple(jax.lax.slice_in_dim(x, int(offs[i]), int(offs[i + 1]),
+                                          axis=axis)
+                     for i in range(len(sizes)))
+    if t == "Squeeze":
+        axes = (_static_ints(ins[1]) if len(ins) > 1 and ins[1] is not None
+                else a.get("axes"))
+        if axes is None:
+            return jnp.squeeze(ins[0])
+        return jnp.squeeze(ins[0], axis=tuple(ax % ins[0].ndim
+                                              for ax in axes))
+    if t == "Unsqueeze":
+        axes = (_static_ints(ins[1]) if len(ins) > 1 else a["axes"])
+        y = ins[0]
+        for ax in sorted(ax % (y.ndim + 1) for ax in axes):
+            y = jnp.expand_dims(y, ax)
+        return y
+    if t == "Pad":
+        x = ins[0]
+        mode = a.get("mode", "constant")
+        if len(ins) > 1 and ins[1] is not None:      # opset 11+: operand
+            pads = _static_ints(ins[1])
+            cval = float(np.asarray(ins[2])) if len(ins) > 2 and \
+                ins[2] is not None else 0.0
+        else:
+            pads = a["pads"]
+            cval = a.get("value", 0.0)
+        nd = x.ndim
+        width = [(pads[i], pads[i + nd]) for i in range(nd)]
+        if mode == "constant":
+            return jnp.pad(x, width, constant_values=cval)
+        return jnp.pad(x, width,
+                       mode={"reflect": "reflect", "edge": "edge"}[mode])
+    if t == "ReduceMean":
+        axes = (a.get("axes") if "axes" in a else
+                (_static_ints(ins[1]) if len(ins) > 1 and ins[1] is not None
+                 else None))
+        keep = bool(a.get("keepdims", 1))
+        return jnp.mean(ins[0], axis=None if axes is None else tuple(axes),
+                        keepdims=keep)
+    if t == "Gather":
+        axis = a.get("axis", 0)
+        return jnp.take(ins[0], jnp.asarray(ins[1]).astype(jnp.int32),
+                        axis=axis)
+    if t == "LSTM":
+        return _lstm(node, ins, a)
     raise NotImplementedError(f"onnx_reader: op {t}")
 
 
@@ -228,18 +424,31 @@ def load_onnx(path: str):
     ``fn(params, *inputs) -> output(s)`` in the model's native (NCHW)
     layout; params = {initializer name: array}."""
     model = parse_onnx(path)
-    params = {k: jnp.asarray(v) for k, v in model["initializers"].items()}
+    # int64 initializers are shape/index operands (Reshape shapes, Slice
+    # starts/ends, Split sizes, Gather indices): bake them as numpy
+    # constants so they stay concrete under jit — they parameterize the
+    # PROGRAM, they are not data
+    consts = {k: np.asarray(v) for k, v in model["initializers"].items()
+              if np.asarray(v).dtype == np.int64}
+    params = {k: jnp.asarray(v) for k, v in model["initializers"].items()
+              if k not in consts}
     in_names = [n for n, _ in model["inputs"]]
     out_names = [n for n, _ in model["outputs"]]
     nodes = model["nodes"]
 
     def fn(params, *inputs):
-        val = dict(params)
+        val = dict(consts)
+        val.update(params)
         for n, x in zip(in_names, inputs):
             val[n] = x
         for node in nodes:
             out = _run_node(node, val)
-            val[node["outputs"][0]] = out
+            if isinstance(out, tuple):          # Split / LSTM: multi-output
+                for nm, o in zip(node["outputs"], out):
+                    if nm:
+                        val[nm] = o
+            else:
+                val[node["outputs"][0]] = out
         outs = [val[n] for n in out_names]
         return outs[0] if len(outs) == 1 else tuple(outs)
 
