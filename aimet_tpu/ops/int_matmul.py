@@ -35,6 +35,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def decode_blocks(n_out: int) -> Tuple[int, int]:
+    """(block_n, block_k-packed) for weight-only decode shapes (M<=32),
+    swept on-chip at the Llama-8B shapes (scripts/probe_llama8b_parts.py):
+    K-shallow, N-wide tiles stream weights fastest — bk=512 with bn=2048
+    (4096 for very wide N) reaches 667-726 GB/s on v5e vs 578-644 for
+    1024x1024. NOTE: if N is not a multiple of block_n the wrapper pads
+    the full weight inside jit (a catastrophic extra HBM round-trip at
+    lm_head size — pad the weight once at build time instead; see
+    serving/quantized_llm.pad_vocab_for_decode)."""
+    return (4096 if n_out >= 16384 else 2048), 512
+
+
 def _pad_to(x, multiple, axis):
     size = x.shape[axis]
     rem = size % multiple

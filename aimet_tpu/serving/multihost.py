@@ -164,6 +164,7 @@ def make_shard_map_forward(cfg: TransformerConfig, mesh: Mesh, mode: str,
         x = _rms_norm(x, qw["final_norm"], cfg.norm_eps)
         logits = _qmm(x.reshape(B * T, -1), *qw["lm_head"], mode=mode)
         logits = jax.lax.all_gather(logits, "tp", axis=1, tiled=True)
+        logits = logits[:, :cfg.vocab_size]   # vocab-padding columns
         return logits.reshape(B, T, -1).astype(jnp.float32), new_caches
 
     col = (P(None, "tp"), P("tp"))

@@ -120,6 +120,64 @@ def parity_check():
     print("# on-chip kernel parity: OK", file=sys.stderr)
 
 
+def _load_previous_round():
+    """Most recent driver-recorded BENCH_r*.json (they are committed
+    in-repo), parsed, for the cross-round regression guard (VERDICT r3
+    weak #1: w8 decode dropped 10% between rounds and nothing flagged
+    it)."""
+    import glob
+    import os
+    import re
+    best = None
+    for path in glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, path)
+    if best is None:
+        return None, None
+    try:
+        with open(best[1]) as f:
+            return best[0], json.load(f).get("parsed")
+    except Exception:
+        return None, None
+
+
+def _flatten_metrics(d, prefix=""):
+    out = {}
+    for k, v in (d or {}).items():
+        if isinstance(v, dict):
+            out.update(_flatten_metrics(v, prefix + k + "."))
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            out[prefix + k] = float(v)
+    return out
+
+
+def regression_guard(current: dict, drop_tol: float = 0.08):
+    """Warn-hard (nonzero-prefixed stderr lines) when any kernel metric
+    fell more than ``drop_tol`` vs the previous round's driver record.
+    Ratio metrics (vs_*, *_frac) and latencies are excluded; the chip
+    drifts several percent run-to-run and occasionally throttles (see
+    CLAUDE.md), so the caller runs a known-kernel sanity check first."""
+    prev_round, prev = _load_previous_round()
+    if not prev:
+        return
+    prev_flat = _flatten_metrics(prev)
+    cur_flat = _flatten_metrics(current)
+    for key, cur_v in cur_flat.items():
+        if key.endswith(("_us", "_ms", "step_ms")) or "_vs_" in key \
+                or key.startswith("vs_") or "frac" in key:
+            continue
+        prev_v = prev_flat.get(key)
+        if prev_v and prev_v > 0 and cur_v < (1 - drop_tol) * prev_v:
+            print(f"!! REGRESSION vs BENCH_r{prev_round:02d}: {key} "
+                  f"{prev_v:.1f} -> {cur_v:.1f} "
+                  f"({100 * (cur_v / prev_v - 1):.1f}%)", file=sys.stderr)
+
+
 def main():
     from aimet_tpu.ops.int_matmul import (
         matmul_w4,
@@ -247,15 +305,38 @@ def main():
                           jnp.zeros((1, 8), jnp.int32))
     tps_bf16 = bs.bench_bf16(cfg_s, vars_s)
     tps_w8 = bs.bench_quantized(cfg_s, vars_s, "w8")
+    # w4a8 serving mode: driver-captured (VERDICT r3 weak #2 — the r3
+    # headline lived only in a commit message)
+    tps_w4a8 = bs.bench_quantized(cfg_s, vars_s, "w4a8")
     serving = {"bf16_tps": round(tps_bf16, 1), "w8_tps": round(tps_w8, 1),
-               "w8_vs_bf16": round(tps_w8 / tps_bf16, 2)}
+               "w4a8_tps": round(tps_w4a8, 1),
+               "w8_vs_bf16": round(tps_w8 / tps_bf16, 2),
+               "w4a8_vs_bf16": round(tps_w4a8 / tps_bf16, 2)}
     print("# serving decode: " + json.dumps(serving), file=sys.stderr)
     if tps_w8 < 1.2 * tps_bf16:
         raise AssertionError(
             f"w8 serving regression: {tps_w8:.0f} tok/s < 1.2x bf16 "
             f"({tps_bf16:.0f})")
+    if tps_w4a8 < 1.2 * tps_bf16:
+        raise AssertionError(
+            f"w4a8 serving regression: {tps_w4a8:.0f} tok/s < 1.2x bf16 "
+            f"({tps_bf16:.0f})")
 
-    print(json.dumps({
+    # --- north star: Llama-3-8B-class W4A8 + INT8-KV decode on this chip
+    # (bf16 CANNOT run at this size: 16.1 GB of weights > 16 GB HBM).
+    # Free the 0.9B f32 tree + kernel operands first: the 8B INT4 tree is
+    # 4.3 GB and must not share HBM with a 3.6 GB float model.
+    del vars_s, model_s, w, w_bf, wq8, wp4, wp4g
+    import bench_llama8b
+    l8b = bench_llama8b.run(quiet=False)
+    llama8b = {"tok_s": round(l8b["tok_s"], 1),
+               "gbps": round(l8b["gbps"], 1),
+               "roofline_frac": round(l8b["roofline_frac"], 3),
+               "step_ms": round(l8b["step_ms"], 2),
+               "weight_gb": round(l8b["weight_gb"], 2),
+               "batch": l8b["batch"], "bf16_possible": False}
+
+    payload = {
         "metric": "fused_dequant_matmul_w8a8_tflops",
         "value": round(results["w8a8"], 2),
         "unit": "TFLOP/s",
@@ -264,7 +345,10 @@ def main():
         "static_w8a8_tflops": round(results["w8a8_static"], 2),
         "decode_m16": decode,
         "serving_decode": serving,
-    }))
+        "llama8b_w4a8": llama8b,
+    }
+    regression_guard(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,146 @@
+"""North-star benchmark: Llama-3-8B-class W4A8 + INT8-KV decode on one chip.
+
+BASELINE.json north star + VERDICT r3 missing #1: the largest model the
+framework had ever put on the chip was ~160M params. This runs the real
+thing: 8.03B params (Llama-3-8B shapes: 128256 vocab, 4096 d_model, 32
+layers, GQA 32/8, 14336 d_ff), INT4 weights (split-half packed, per-channel
+scales), INT8 KV cache, batch greedy decode inside one jit.
+
+bf16 is IMPOSSIBLE at this size on one v5e chip: 16.1 GB of weights alone
+exceeds the 16 GB HBM before a single activation — quantization is not an
+optimization here, it is the only way the model runs at all. INT4 weights
+are 4.28 GB (3.76 GB projections+lm_head packed + 1.05 GB bf16 embed).
+
+Weights are random (this is a throughput claim, not an accuracy claim);
+the compute path is the production one: serving/quantized_llm.py forward
+with ops/int_matmul.py kernels (decode -> weight-only w4 Pallas kernel,
+prefill -> int8-MXU w4a8 fusedq) and ops/kv_cache.py INT8 KV.
+
+Reports tokens/s and the fraction of the v5e HBM roofline (~819 GB/s) the
+decode step sustains for its weight+KV traffic.
+
+Prints one JSON line:
+  {"metric": "llama8b_w4a8_decode_tok_s", "value": ..., "unit": "tok/s",
+   "roofline_frac": ..., "gbps": ...}
+"""
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from aimet_tpu.models.transformer import TransformerConfig
+from aimet_tpu.ops.kv_cache import init_quantized_kv_cache
+from aimet_tpu.serving.quantized_llm import (
+    quantized_forward,
+    quantized_weight_bytes,
+    random_quantized_weights,
+)
+
+HBM_PEAK_GBPS = 819.0          # v5e
+BATCH = 16
+PREFILL = 32
+STEPS0, STEPS1 = 4, 36         # ~5 ms/step floor -> 32 extra steps ~ 160 ms
+MAX_LEN = PREFILL + STEPS1 + 8
+MODE = "w4a8"
+
+
+def run(batch=BATCH, mode=MODE, reps=4, quiet=False):
+    cfg = TransformerConfig.llama3_8b()
+    qw = random_quantized_weights(cfg, mode)
+    w_bytes = quantized_weight_bytes(qw)
+    embed_bytes = qw["embed"].size * 2
+    if not quiet:
+        print(f"# llama8b: quantized weight tree = {w_bytes/1e9:.2f} GB "
+              f"(incl. {embed_bytes/1e9:.2f} GB bf16 embed)", file=sys.stderr)
+
+    caches = [init_quantized_kv_cache(batch, MAX_LEN, cfg.n_kv_heads,
+                                      cfg.head_dim)
+              for _ in range(cfg.n_layers)]
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (batch, PREFILL)),
+                         jnp.int32)
+
+    t0 = time.perf_counter()
+    prefill = jax.jit(partial(quantized_forward, prefill=True, mode=mode),
+                      static_argnames=("cfg",))
+    logits, caches = prefill(qw, cfg, tokens, caches, 0)
+    tok0 = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+    np.asarray(tok0[0:1])
+    t_prefill = time.perf_counter() - t0
+
+    def make_loop(steps):
+        def decode_loop(qw, tok0, caches, start):
+            def body(carry, _):
+                tok, caches, pos = carry
+                logits, caches = quantized_forward(
+                    qw, cfg, tok, caches, pos, prefill=False, mode=mode)
+                nxt = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+                return (nxt, caches, pos + 1), nxt
+            (_, caches, _), toks = jax.lax.scan(
+                body, (tok0, caches, start), None, length=steps)
+            return toks
+        return jax.jit(decode_loop)
+
+    times = {}
+    for steps in (STEPS0, STEPS1):
+        fn = make_loop(steps)
+        np.asarray(fn(qw, tok0, caches, jnp.int32(PREFILL))[0])
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(qw, tok0, caches, jnp.int32(PREFILL))[0])
+            best = min(best, time.perf_counter() - t0)
+        times[steps] = best
+    t_step = max((times[STEPS1] - times[STEPS0]) / (STEPS1 - STEPS0), 1e-9)
+
+    # Decode-step HBM traffic: every projection weight byte + scales are
+    # read once; the INT8 KV cache is read once per step (k+v) at the
+    # average decode length; embed gathers `batch` rows.
+    avg_len = PREFILL + (STEPS0 + STEPS1) / 2
+    kv_bytes = (2 * batch * avg_len * cfg.n_kv_heads * cfg.head_dim
+                * cfg.n_layers)
+    step_bytes = (w_bytes - embed_bytes) + kv_bytes + batch * cfg.d_model * 2
+    gbps = step_bytes / t_step / 1e9
+    out = {
+        "tok_s": batch / t_step,
+        "step_ms": t_step * 1e3,
+        "gbps": gbps,
+        "roofline_frac": gbps / HBM_PEAK_GBPS,
+        "prefill_s_first": t_prefill,
+        "weight_gb": w_bytes / 1e9,
+        "batch": batch,
+        "mode": mode,
+    }
+    if not quiet:
+        print(f"# llama8b decode: {out['tok_s']:.0f} tok/s  "
+              f"{out['step_ms']:.2f} ms/step  {gbps:.0f} GB/s "
+              f"({100*out['roofline_frac']:.0f}% of HBM roofline)",
+              file=sys.stderr)
+    return out
+
+
+def main():
+    out = run()
+    print(json.dumps({
+        "metric": "llama8b_w4a8_decode_tok_s",
+        "value": round(out["tok_s"], 1),
+        "unit": "tok/s",
+        "roofline_frac": round(out["roofline_frac"], 3),
+        "gbps": round(out["gbps"], 1),
+        "step_ms": round(out["step_ms"], 2),
+        "weight_gb": round(out["weight_gb"], 2),
+        "batch": out["batch"],
+        "bf16_possible": False,
+    }))
+
+
+if __name__ == "__main__":
+    main()
