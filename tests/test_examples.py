@@ -18,6 +18,7 @@ EXAMPLES = [
     "examples.torch_migration",
     "examples.analysis_autoquant_amp",
     "examples.backend_deploy",
+    "examples.llama_scale_serving",
 ]
 
 
