@@ -6,6 +6,26 @@ Variants at M=1024, K=N=4096, blocks 1024^3:
   bf16_epi  : acc -> bf16 -> scale in bf16      (half the VPU bytes)
   f32_out   : f32 scale epilogue, f32 out       (no bf16 convert)
   nk1       : block_k = K (single pass, no acc scratch revisit)
+
+NEGATIVE RESULT (round 4, closing VERDICT r3 next #6): the ~83-87%-of-
+int8-peak ceiling is structural for this kernel family on this stack.
+Evidence accumulated over rounds 2-4, all on-chip:
+  - (block_m, block_n, block_k) sweeps over {256,512,1024,2048}^3 incl.
+    K-unsplit single-pass: best in-session spread 290-330 TF/s, with the
+    shipped fusedq (1024,512) at the top of every interleaved A/B
+    (scripts/sweep_w8a8.py, sweep_fusedq.py, /tmp ab runs 2026-08-21;
+    interleaved rep0/rep1: 325.2/323.7 vs 323.5/316.0 for (1024,256)).
+  - epilogue variants (bf16 epilogue, f32 out, raw int32 out) within
+    noise or failing to compile at some blockings (remote-compile 500).
+  - in-kernel static quantize + compile-time-constant encodings (r3):
+    +15% once, already shipped (matmul_w8a8_staticq).
+  - one-dot concat trick and int32 large-M variants: negative (r3,
+    scripts/probe_w4_onedot.py, probe_w4_bigm.py).
+Driver-recorded plateau: w8a8 323.8-327.0, w4a8 341-347 TF/s across three
+rounds with +-3% run-to-run chip drift (CLAUDE.md). The remaining gap to
+394 TF/s nominal int8 peak is consistent with MXU pipeline overheads the
+kernel cannot schedule around at these shapes (M=1024 rows = 8 sublane
+passes per 128-wide MXU tile; no legal blocking reached >84% in-session).
 """
 import functools
 import sys
