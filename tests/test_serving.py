@@ -211,3 +211,35 @@ def test_w4a8_serving_mode(rng):
                                    prefill=False, mode="w4a8")
     assert logits2.shape == (2, 1, 64)
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+class TestVocabPadding:
+    def test_padded_lm_head_logits_sliced_and_argmax_safe(self, rng):
+        """pad_vocab_for_decode: logits come back at exactly vocab_size
+        and generation never emits a padded index, whatever the sign of
+        the true logits."""
+        from aimet_tpu.serving.quantized_llm import (pad_vocab_for_decode,
+                                                     random_quantized_weights)
+        from aimet_tpu.models.transformer import TransformerConfig
+        from aimet_tpu.ops.kv_cache import init_quantized_kv_cache
+
+        cfg = TransformerConfig.tiny(vocab_size=100)   # not block-aligned
+        qw = random_quantized_weights(cfg, mode="w4", seed=0)
+        assert qw["lm_head"][0].shape[1] % 4096 == 0   # padded
+        caches = [init_quantized_kv_cache(2, 16, cfg.n_kv_heads,
+                                          cfg.head_dim)
+                  for _ in range(cfg.n_layers)]
+        toks = jnp.asarray(rng.randint(0, 100, (2, 4)), jnp.int32)
+        logits, caches = quantized_forward(qw, cfg, toks, caches, 0,
+                                           prefill=True, mode="w4")
+        assert logits.shape == (2, 4, 100)
+        # force all-true-negative logits: argmax must still be < vocab
+        nxt = jnp.argmax(logits[:, -1] - 1e6, axis=-1)
+        assert int(jnp.max(nxt)) < 100
+
+    def test_pad_noop_when_aligned(self):
+        from aimet_tpu.serving.quantized_llm import pad_vocab_for_decode
+        wq = jnp.zeros((8, 4096), jnp.int8)
+        s = jnp.ones((4096,), jnp.float32)
+        w2, s2 = pad_vocab_for_decode((wq, s))
+        assert w2 is wq and s2 is s
