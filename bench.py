@@ -209,37 +209,46 @@ def main():
             return jax.jit(lambda x: jax.lax.fori_loop(0, n, body, x))
         return make
 
-    t_bf16 = slope_time(chain(lambda a: jnp.dot(
-        a, w_bf, preferred_element_type=jnp.float32)))
-    t_w8a8 = slope_time(chain(lambda a: matmul_w8a8(
-        a, wq8, s8, out_dtype=jnp.bfloat16)))
-    # W4A8 fusedq: the execution target of the reference's AdaRound W4A8
-    # headline (README.md:155-173) — int4 weights on the int8 MXU path
-    t_w4a8 = slope_time(chain(lambda a: matmul_w4a8(
-        a, wp4, s4, out_dtype=jnp.bfloat16)))
-    t_w8 = slope_time(chain(lambda a: matmul_w8(
-        a, wq8, s8, out_dtype=jnp.bfloat16)))
-    t_w4 = slope_time(chain(lambda a: matmul_w4(
-        a, wp4, s4, out_dtype=jnp.bfloat16)))
     wp4g, s4g = quantize_weight_int4_grouped(w, group_size=128)
     s4g = s4g * 0.01
-    t_w4g = slope_time(chain(lambda a: matmul_w4_grouped(
-        a, wp4g, s4g, group_size=128, out_dtype=jnp.bfloat16)))
 
     # static-encoding w8a8: the DEPLOYMENT path (lowered models quantize
     # activations with frozen calibration scales — no per-row max reduce,
     # the quantize fuses into the kernel's input DMA). This is the number
-    # a lowered model's matmuls actually run at.
+    # a lowered model's matmuls actually run at. bf16 activations go
+    # straight into the staticq kernel (an f32 pre-cast would add a 25MB
+    # HBM round-trip no real serving path pays).
     from aimet_tpu.quantization.affine import compute_encoding_from_min_max
     from aimet_tpu.quantsim.lowering import _make_static_q8_mm
 
     enc_in = compute_encoding_from_min_max(
         jnp.float32(-4.0), jnp.float32(4.0), 8, False, False, False)
     static_mm = _make_static_q8_mm(enc_in, wq8, s8)
-    # bf16 activations straight into the staticq kernel (it quantizes
-    # in-kernel with the frozen encoding; an f32 pre-cast would add a
-    # 25MB HBM round-trip that no real serving path pays)
-    t_static = slope_time(chain(lambda a: static_mm(a)[:, :K]))
+
+    # the chip's clock drifts over minutes (CLAUDE.md): measure the whole
+    # kernel list TWICE interleaved and keep each kernel's best slope, so
+    # a thermal dip doesn't land on one kernel's headline
+    kernel_ops = [
+        ("static", lambda a: static_mm(a)[:, :K]),
+        ("bf16", lambda a: jnp.dot(a, w_bf,
+                                   preferred_element_type=jnp.float32)),
+        ("w8a8", lambda a: matmul_w8a8(a, wq8, s8, out_dtype=jnp.bfloat16)),
+        # W4A8 fusedq: the execution target of the reference's AdaRound
+        # W4A8 headline (README.md:155-173) — int4 weights, int8 MXU path
+        ("w4a8", lambda a: matmul_w4a8(a, wp4, s4, out_dtype=jnp.bfloat16)),
+        ("w8", lambda a: matmul_w8(a, wq8, s8, out_dtype=jnp.bfloat16)),
+        ("w4", lambda a: matmul_w4(a, wp4, s4, out_dtype=jnp.bfloat16)),
+        ("w4g", lambda a: matmul_w4_grouped(a, wp4g, s4g, group_size=128,
+                                            out_dtype=jnp.bfloat16)),
+    ]
+    t_best = {}
+    for _pass in range(2):
+        for name, op in kernel_ops:
+            t = slope_time(chain(op))
+            t_best[name] = min(t, t_best.get(name, float("inf")))
+    t_bf16, t_w8a8, t_w4a8, t_w8, t_w4, t_w4g, t_static = (
+        t_best[k] for k in ("bf16", "w8a8", "w4a8", "w8", "w4", "w4g",
+                            "static"))
 
     tflops = lambda t: flops / t / 1e12
     results = {"bf16_xla": tflops(t_bf16), "w8a8": tflops(t_w8a8),
@@ -270,19 +279,25 @@ def main():
             times[n] = best
         return max((times[dec_n1] - times[dec_n0]) / (dec_n1 - dec_n0), 1e-9)
 
-    t_dbf = dec_slope(chain(lambda a: jnp.dot(
-        a, w_bf, preferred_element_type=jnp.float32)))
-    t_dw8 = dec_slope(chain(lambda a: matmul_w8(
-        a, wq8, s8, block_m=16, block_n=1024, block_k=1024,
-        out_dtype=jnp.bfloat16)))
-    t_dw4 = dec_slope(chain(lambda a: matmul_w4(
-        a, wp4, s4, block_m=16, block_n=1024, block_k=1024,
-        out_dtype=jnp.bfloat16)))
-    # decode blocks swept on-chip (scripts/probe_w4g_decode.py):
-    # 2048x1024 = 481 GB/s > 1024x1024 = 471
-    t_dw4g = dec_slope(chain(lambda a: matmul_w4_grouped(
-        a, wp4g, s4g, group_size=128, block_m=16, block_n=2048,
-        block_k=1024, out_dtype=jnp.bfloat16)))
+    dec_ops = [
+        ("bf16", lambda a: jnp.dot(a, w_bf,
+                                   preferred_element_type=jnp.float32)),
+        ("w8", lambda a: matmul_w8(a, wq8, s8, block_m=16, block_n=1024,
+                                   block_k=1024, out_dtype=jnp.bfloat16)),
+        ("w4", lambda a: matmul_w4(a, wp4, s4, block_m=16, block_n=1024,
+                                   block_k=1024, out_dtype=jnp.bfloat16)),
+        # grouped decode blocks swept on-chip (scripts/probe_w4g_decode.py)
+        ("w4g", lambda a: matmul_w4_grouped(
+            a, wp4g, s4g, group_size=128, block_m=16, block_n=2048,
+            block_k=1024, out_dtype=jnp.bfloat16)),
+    ]
+    d_best = {}
+    for _pass in range(2):                 # interleave vs clock drift
+        for name, op in dec_ops:
+            t = dec_slope(chain(op))
+            d_best[name] = min(t, d_best.get(name, float("inf")))
+    t_dbf, t_dw8, t_dw4, t_dw4g = (
+        d_best[k] for k in ("bf16", "w8", "w4", "w4g"))
     decode = {
         "bf16_us": round(t_dbf * 1e6, 1),
         "w8_gbps": round(K * N / t_dw8 / 1e9, 1),

@@ -93,3 +93,44 @@ def test_w8a8_staticq_bf16_on_chip():
         + np.asarray(cvec)[None, :]
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     assert err < 1e-2, err
+
+
+def test_decode_block_dispatch_on_chip():
+    """Round-4 decode tiles (ops/int_matmul.decode_blocks): the swept
+    (bn, bk) pairs must be Mosaic-legal and XLA-exact at decode M."""
+    from aimet_tpu.ops.int_matmul import (decode_blocks, matmul_w4,
+                                          matmul_w4_xla,
+                                          quantize_weight_int4)
+
+    rng = np.random.RandomState(0)
+    for K, N in ((2048, 2048), (2048, 16384)):
+        x = jnp.asarray(rng.randn(16, K).astype(np.float32))
+        w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.1)
+        wp, s = quantize_weight_int4(w)
+        bn, bk = decode_blocks(N)
+        got = np.asarray(matmul_w4(x, wp, s, block_m=16, block_n=bn,
+                                   block_k=bk))
+        ref = np.asarray(matmul_w4_xla(x, wp, s))
+        err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-9)
+        assert err < 1e-2, (K, N, err)
+
+
+def test_vocab_padded_lm_head_on_chip():
+    """pad_vocab_for_decode keeps the matmul exact: padded columns carry
+    scale 0 and the sliced logits bit-match the unpadded XLA result."""
+    from aimet_tpu.ops.int_matmul import matmul_w4, matmul_w4_xla, \
+        quantize_weight_int4
+    from aimet_tpu.serving.quantized_llm import pad_vocab_for_decode
+
+    rng = np.random.RandomState(1)
+    K, V = 1024, 5000                       # not block-aligned
+    x = jnp.asarray(rng.randn(16, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(K, V).astype(np.float32) * 0.1)
+    pair = quantize_weight_int4(w)
+    wp, s = pad_vocab_for_decode(pair, multiple=2048)
+    assert wp.shape[1] == 6144
+    got = np.asarray(matmul_w4(x, wp, s, block_m=16, block_n=2048,
+                               block_k=512))[:, :V]
+    ref = np.asarray(matmul_w4_xla(x, *pair))
+    err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-9)
+    assert err < 1e-2, err
