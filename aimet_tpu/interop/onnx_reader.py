@@ -213,6 +213,18 @@ def _lstm(node, ins, a):
     X, W, R = ins[0], ins[1], ins[2]
     hidden = R.shape[2]
     n_dirs = W.shape[0]
+    direction = a.get("direction", "forward")
+    if direction not in ("forward", "reverse", "bidirectional"):
+        raise NotImplementedError(f"LSTM direction {direction!r}")
+    if (direction == "bidirectional") != (n_dirs == 2):
+        raise ValueError(f"LSTM direction={direction!r} but W has "
+                         f"{n_dirs} direction slices")
+    if a.get("activations") not in (None, ["Sigmoid", "Tanh", "Tanh"],
+                                    ["Sigmoid", "Tanh", "Tanh"] * n_dirs):
+        raise NotImplementedError(
+            "LSTM non-default activations not supported")
+    if len(ins) > 4 and ins[4] is not None:
+        raise NotImplementedError("LSTM sequence_lens not supported")
     B = ins[3] if len(ins) > 3 and ins[3] is not None else \
         jnp.zeros((n_dirs, 8 * hidden), X.dtype)
     T, batch, _ = X.shape
@@ -239,6 +251,9 @@ def _lstm(node, ins, a):
         (h_l, c_l), ys = jax.lax.scan(step, (h_init, c_init), xs)
         return ys, h_l, c_l
 
+    if direction == "reverse":
+        ys_r, h_r, c_r = run_dir(X[::-1], W[0], R[0], B[0], h0[0], c0[0])
+        return ys_r[::-1][:, None], h_r[None], c_r[None]
     ys_f, h_f, c_f = run_dir(X, W[0], R[0], B[0], h0[0], c0[0])
     if n_dirs == 1:
         return ys_f[:, None], h_f[None], c_f[None]
@@ -384,7 +399,9 @@ def _run_node(node, val):
     if t == "Unsqueeze":
         axes = (_static_ints(ins[1]) if len(ins) > 1 else a["axes"])
         y = ins[0]
-        for ax in sorted(ax % (y.ndim + 1) for ax in axes):
+        # ONNX: axes index into the OUTPUT shape (rank = ndim + len(axes))
+        out_ndim = y.ndim + len(axes)
+        for ax in sorted(ax % out_ndim for ax in axes):
             y = jnp.expand_dims(y, ax)
         return y
     if t == "Pad":

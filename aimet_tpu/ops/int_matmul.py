@@ -35,6 +35,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def matmul_w4_decode(x, w_packed, w_scale, *, out_dtype=None):
+    """Decode-shape (M < 256) weight-only INT4 matmul with the swept
+    tile policy (see :func:`decode_blocks`) — THE single place the tuned
+    decode dispatch lives (serving._qmm and quantsim.lowering both call
+    it). block_m covers the whole M in one pass up to 128 rows so the
+    weight streams from HBM exactly once."""
+    m = x.shape[0]
+    bn, bk = decode_blocks(w_packed.shape[1])
+    bm = max(8, min(128, -(-m // 8) * 8))
+    return matmul_w4(x, w_packed, w_scale, block_m=bm, block_n=bn,
+                     block_k=bk, out_dtype=out_dtype)
+
+
 def decode_blocks(n_out: int) -> Tuple[int, int]:
     """(block_n, block_k-packed) for weight-only decode shapes (M<=32),
     swept on-chip at the Llama-8B shapes (scripts/probe_llama8b_parts.py):

@@ -89,6 +89,10 @@ def get_rescaled_output_and_bias(
         return (out_encoding_offset / requant_scale) if with_offset_wrap \
             else 0.0
 
+    # Dispatch mirrors the reference EXACTLY: `if (count == weightLen)`
+    # takes the per-channel branch FIRST (spec_functions.cpp:118), so a
+    # single-output-channel layer with weight_scale of length 1 uses the
+    # per-channel rounding order, same as the C++.
     if bias_in.shape[0] == ws.shape[0]:          # per-channel
         acc_curr = ws * input_scale
         requant_scale = acc_curr / out_encoding_delta

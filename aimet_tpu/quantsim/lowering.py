@@ -187,7 +187,7 @@ def _lower_linear_grouped_int4(op: Op, w, bias, enc, spec, use_pallas):
 
 
 def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
-                  act_enc=None):
+                  act_enc=None, decode_weight_only=False):
     dn = op.attrs["dimension_numbers"]
     ((lc, rc), (lb, rb)) = dn
     ndim = len(op.attrs["lhs_shape"] or ())
@@ -202,10 +202,15 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
     q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, w.shape[1])
     # Per-shape kernel dispatch (VERDICT r3 weak #6): shapes are static
     # under jit, so the M branch resolves at trace time. Decode shapes
-    # (M <= 32) are HBM-bandwidth-bound — the a8 modes route to the
-    # weight-only kernels there (same INT weight bytes, decode-tuned
-    # blocks, and skipping activation quantization at tiny M is also
-    # MORE faithful); compute-bound shapes ride the int8 MXU.
+    # (M <= 32) are HBM-bandwidth-bound — w4a8 routes to the weight-only
+    # kernel there (same INT4 weight bytes, decode-tuned blocks; replacing
+    # DYNAMIC activation quant with none at tiny M is strictly more
+    # accurate). w8a8 keeps the static-encoding kernel at every M by
+    # default — its frozen-encoding clip IS the behavior the quantsim
+    # simulated, so silently dropping it at decode shapes would make
+    # deployed numerics batch-size-dependent; pass
+    # ``decode_weight_only=True`` to trade that faithfulness for decode
+    # bandwidth explicitly.
     DECODE_M = 32
     if mode in ("w4", "w4a8"):
         if q.shape[0] % 2:
@@ -220,12 +225,9 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
                             x2d, wq, scale, out_dtype=jnp.float32)
             if m <= DECODE_M:
                 if wq.shape[0] >= 512 and wq.shape[1] >= 1024:
-                    from ..ops.int_matmul import decode_blocks
-                    bn, bk = decode_blocks(wq.shape[1])
-                    bm = max(8, min(32, -(-m // 8) * 8))
-                    return matmul_w4(x2d, wq, scale, block_m=bm,
-                                     block_n=bn, block_k=bk,
-                                     out_dtype=jnp.float32)
+                    from ..ops.int_matmul import matmul_w4_decode
+                    return matmul_w4_decode(x2d, wq, scale,
+                                            out_dtype=jnp.float32)
                 return matmul_w4_xla(x2d, wq, scale, out_dtype=jnp.float32)
             if mode == "w4a8":
                 return matmul_w4a8(x2d, wq, scale, out_dtype=jnp.float32)
@@ -237,8 +239,8 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
 
         def mm(x2d):
             m = x2d.shape[0]
-            if use_pallas and m <= DECODE_M and wq8.shape[0] >= 1024 \
-                    and wq8.shape[1] >= 1024:
+            if decode_weight_only and use_pallas and m <= DECODE_M \
+                    and wq8.shape[0] >= 1024 and wq8.shape[1] >= 1024:
                 bm = max(8, min(32, -(-m // 8) * 8))
                 return matmul_w8(x2d, wq8, scale, block_m=bm, block_n=1024,
                                  block_k=1024, out_dtype=jnp.float32)
@@ -348,7 +350,8 @@ def op_flops(op: Op) -> int:
 
 
 def lower_to_int(sim, params, mode: str = "w8",
-                 use_pallas: Optional[bool] = None) -> LoweredModel:
+                 use_pallas: Optional[bool] = None,
+                 decode_weight_only: bool = False) -> LoweredModel:
     """Build a true-INT executable from a calibrated QuantizationSimModel.
 
     mode: "w8" (INT8 weight-only), "w4" (packed INT4 weight-only; the
@@ -443,9 +446,13 @@ def lower_to_int(sim, params, mode: str = "w8",
                     f"lowering with dynamic activation quantization (convs) "
                     f"or weight-only INT8 (matmuls); recorded in "
                     f"LoweredModel.downgraded_ops", stacklevel=2)
-        fn = (_lower_linear if op.type == "linear" else _lower_conv)(
-            op, w, bias, enc, spec.channel_axis, op_mode, use_pallas,
-            act_enc=act_enc)
+        if op.type == "linear":
+            fn = _lower_linear(op, w, bias, enc, spec.channel_axis, op_mode,
+                               use_pallas, act_enc=act_enc,
+                               decode_weight_only=decode_weight_only)
+        else:
+            fn = _lower_conv(op, w, bias, enc, spec.channel_axis, op_mode,
+                             use_pallas, act_enc=act_enc)
         if fn is None:
             skipped.append(op.name)
             if op.name in downgraded:

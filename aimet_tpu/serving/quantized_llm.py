@@ -19,6 +19,7 @@ import numpy as np
 
 from ..models.transformer import TransformerConfig, apply_rope, rope_freqs
 from ..ops.int_matmul import (
+    matmul_w4_decode,
     matmul_w4_xla,
     matmul_w4a8,
     matmul_w4a8_xla,
@@ -50,7 +51,6 @@ def _use_pallas(m: int) -> bool:
     return jax.default_backend() == "tpu" and m >= PALLAS_MIN_M
 
 
-from ..ops.int_matmul import decode_blocks as _decode_blocks
 
 
 def _qmm(x2d, wq, scale, mode, allow_pallas=True):
@@ -71,19 +71,13 @@ def _qmm(x2d, wq, scale, mode, allow_pallas=True):
             if m >= 32:
                 return matmul_w4a8(x2d, wq, scale)
             if wq.shape[0] >= 512 and wq.shape[1] >= 1024:
-                bn, bk = _decode_blocks(wq.shape[1])
-                bm = max(8, min(32, -(-m // 8) * 8))
-                return matmul_w4(x2d, wq, scale, block_m=bm, block_n=bn,
-                                 block_k=bk)
+                return matmul_w4_decode(x2d, wq, scale)
         return matmul_w4a8_xla(x2d, wq, scale)
     if allow_pallas and on_tpu:
         if m >= PALLAS_MIN_M:
             return matmul_w4(x2d, wq, scale)
         if wq.shape[0] >= 512 and wq.shape[1] >= 1024:
-            bn, bk = _decode_blocks(wq.shape[1])
-            bm = max(8, min(32, -(-m // 8) * 8))
-            return matmul_w4(x2d, wq, scale, block_m=bm, block_n=bn,
-                             block_k=bk)
+            return matmul_w4_decode(x2d, wq, scale)
     # small-M small-K decode: XLA's fused unpack-matmul is fine there
     return matmul_w4_xla(x2d, wq, scale)
 

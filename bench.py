@@ -340,8 +340,11 @@ def main():
     # --- north star: Llama-3-8B-class W4A8 + INT8-KV decode on this chip
     # (bf16 CANNOT run at this size: 16.1 GB of weights > 16 GB HBM).
     # Free the 0.9B f32 tree + kernel operands first: the 8B INT4 tree is
-    # 4.3 GB and must not share HBM with a 3.6 GB float model.
-    del vars_s, model_s, w, w_bf, wq8, wp4, wp4g
+    # 4.3 GB and must not share HBM with a 3.6 GB float model. The op
+    # lists' lambdas (and static_mm) close over the weight arrays, so they
+    # must be dropped too or the buffers stay resident.
+    del vars_s, model_s, w, w_bf, wq8, wp4, wp4g, kernel_ops, dec_ops, \
+        static_mm
     import bench_llama8b
     l8b = bench_llama8b.run(quiet=False)
     # throughput-optimal batch (amortizes the per-step glue): tok/s

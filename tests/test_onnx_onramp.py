@@ -293,3 +293,66 @@ class TestNewOpsUnit:
         import scipy.special as sp
         want = (sp.erf(x) ** 2)[:, [2, 0]]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestReviewRegressions:
+    def test_unsqueeze_multi_axis_output_rank(self, tmp_path, rng):
+        """ONNX Unsqueeze axes index the OUTPUT shape: axes=[0, 4] on a
+        (2,3,4) tensor -> (1,2,3,4,1)."""
+        inits = {"ax": np.asarray([0, 4], np.int64),
+                 "axneg": np.asarray([0, -1], np.int64)}
+        nodes = [("Unsqueeze", ["x", "ax"], ["y1"], "y1", {}),
+                 ("Unsqueeze", ["x", "axneg"], ["y2"], "y2", {})]
+        path = _write(tmp_path, nodes, inits, [("x", (2, 3, 4))],
+                      [("y1", (1, 2, 3, 4, 1)), ("y2", (1, 2, 3, 4, 1))])
+        fn, params = load_onnx(path)
+        x = rng.randn(2, 3, 4).astype(np.float32)
+        y1, y2 = fn(params, jnp.asarray(x))
+        assert y1.shape == (1, 2, 3, 4, 1)
+        assert y2.shape == (1, 2, 3, 4, 1)
+        np.testing.assert_allclose(np.asarray(y1)[0, ..., 0], x)
+
+    def test_lstm_reverse_direction(self, tmp_path, rng):
+        """direction='reverse' must process the sequence backwards
+        (torch oracle: run torch on the reversed input)."""
+        I, Hd, T, B = 4, 3, 5, 2
+        lstm = torch.nn.LSTM(I, Hd)
+        lstm.eval()
+
+        def reorder(w):
+            i, f, g, o = w.detach().numpy().reshape(4, Hd, -1)
+            return np.concatenate([i, o, f, g], 0)
+
+        inits = {
+            "W": reorder(lstm.weight_ih_l0)[None].astype(np.float32),
+            "R": reorder(lstm.weight_hh_l0)[None].astype(np.float32),
+            "B": np.concatenate([reorder(lstm.bias_ih_l0).ravel(),
+                                 reorder(lstm.bias_hh_l0).ravel()]
+                                )[None].astype(np.float32),
+        }
+        nodes = [("LSTM", ["x", "W", "R", "B"], ["Y", "Yh", "Yc"], "lstm",
+                  {"hidden_size": Hd, "direction": "reverse"})]
+        path = _write(tmp_path, nodes, inits, [("x", (T, B, I))],
+                      [("Y", (T, 1, B, Hd)), ("Yh", (1, B, Hd)),
+                       ("Yc", (1, B, Hd))])
+        fn, params = load_onnx(path)
+        x = rng.randn(T, B, I).astype(np.float32)
+        Y, Yh, Yc = fn(params, jnp.asarray(x))
+        with torch.no_grad():
+            yt, (ht, ct) = lstm(torch.from_numpy(x[::-1].copy()))
+        want_Y = yt.numpy()[::-1]          # reverse: outputs re-reversed
+        np.testing.assert_allclose(np.asarray(Y)[:, 0], want_Y, rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Yh)[0], ht.numpy()[0],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_lstm_unsupported_features_raise(self, tmp_path, rng):
+        inits = {"W": np.zeros((1, 12, 4), np.float32),
+                 "R": np.zeros((1, 12, 3), np.float32)}
+        nodes = [("LSTM", ["x", "W", "R"], ["Y"], "lstm",
+                  {"hidden_size": 3, "direction": "bidirectional"})]
+        path = _write(tmp_path, nodes, inits, [("x", (2, 1, 4))],
+                      [("Y", (2, 2, 1, 3))])
+        fn, params = load_onnx(path)
+        with pytest.raises(ValueError):
+            fn(params, jnp.zeros((2, 1, 4), jnp.float32))
