@@ -11,9 +11,10 @@ Two roles:
     jit-able. Supported ops: conv-net set (Conv, Gemm, pools,
     activations, elementwise, Concat, Flatten, Clip, Pad,
     BatchNormalization) + transformer set (MatMul, LayerNormalization,
-    Gelu/Erf, Softmax w/ axis, Slice/Split/Squeeze/Unsqueeze, ReduceMean,
-    Gather, Cast, Constant) + LSTM (uni/bidirectional, iofc gates,
-    lax.scan time loop).
+    Gelu/Erf, Softmax w/ axis, Slice/Split/Squeeze/Unsqueeze,
+    ReduceMean/Sum/Max/Min, Gather, Cast, Constant, Shape/Expand/Where/
+    Equal, Resize nearest/linear) + LSTM (forward/reverse/bidirectional,
+    iofc gates, lax.scan time loop).
 
     Shape-operands (Slice starts/ends, Split sizes, axes tensors) must be
     initializers or Constant outputs — data-dependent shapes cannot jit.
@@ -431,6 +432,43 @@ def _run_node(node, val):
         axis = a.get("axis", 0)
         return jnp.take(ins[0], jnp.asarray(ins[1]).astype(jnp.int32),
                         axis=axis)
+    if t == "Shape":
+        # static under jit: the shape IS a trace-time constant
+        return np.asarray(ins[0].shape, np.int64)
+    if t == "Expand":
+        target = _static_ints(ins[1])
+        return jnp.broadcast_to(ins[0], np.broadcast_shapes(
+            tuple(ins[0].shape), tuple(target)))
+    if t == "Where":
+        return jnp.where(ins[0], ins[1], ins[2])
+    if t == "Equal":
+        return jnp.equal(ins[0], ins[1])
+    if t in ("ReduceSum", "ReduceMax", "ReduceMin"):
+        f = {"ReduceSum": jnp.sum, "ReduceMax": jnp.max,
+             "ReduceMin": jnp.min}[t]
+        axes = (a.get("axes") if "axes" in a else
+                (_static_ints(ins[1]) if len(ins) > 1 and ins[1] is not None
+                 else None))
+        return f(ins[0], axis=None if axes is None else tuple(axes),
+                 keepdims=bool(a.get("keepdims", 1)))
+    if t == "Resize":
+        # nearest/linear upsampling via scales (input 2 or 3 per opset),
+        # NCHW; the common torch-exported interpolate form
+        x = ins[0]
+        scales = sizes = None
+        if len(ins) > 2 and ins[2] is not None and np.asarray(ins[2]).size:
+            scales = np.asarray(ins[2], np.float64)
+        if len(ins) > 3 and ins[3] is not None and np.asarray(ins[3]).size:
+            sizes = _static_ints(ins[3])
+        if sizes is None:
+            if scales is None:
+                raise NotImplementedError("Resize without scales/sizes")
+            sizes = [int(round(d * s)) for d, s in zip(x.shape, scales)]
+        mode = a.get("mode", "nearest")
+        method = {"nearest": "nearest", "linear": "bilinear"}.get(mode)
+        if method is None:
+            raise NotImplementedError(f"Resize mode {mode!r}")
+        return jax.image.resize(x, tuple(sizes), method=method)
     if t == "LSTM":
         return _lstm(node, ins, a)
     raise NotImplementedError(f"onnx_reader: op {t}")

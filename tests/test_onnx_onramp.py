@@ -356,3 +356,37 @@ class TestReviewRegressions:
         fn, params = load_onnx(path)
         with pytest.raises(ValueError):
             fn(params, jnp.zeros((2, 1, 4), jnp.float32))
+
+
+class TestMoreOps:
+    def test_shape_expand_where_reduce_resize(self, tmp_path, rng):
+        inits = {
+            "target": np.asarray([2, 3, 4], np.int64),
+            "zero": np.asarray(0.0, np.float32),
+            "sizes": np.asarray([2, 3, 8, 8], np.int64),
+        }
+        nodes = [
+            ("Expand", ["x", "target"], ["e"], "e", {}),
+            ("Equal", ["e", "zero"], ["eq"], "eq", {}),
+            ("Where", ["eq", "zero", "e"], ["wh"], "wh", {}),
+            ("ReduceSum", ["wh"], ["rs"], "rs",
+             {"axes": [2], "keepdims": 0}),
+        ]
+        path = _write(tmp_path, nodes, inits, [("x", (1, 3, 4))],
+                      [("rs", (2, 3))])
+        fn, params = load_onnx(path)
+        x = rng.randn(1, 3, 4).astype(np.float32)
+        got = np.asarray(fn(params, jnp.asarray(x)))
+        want = np.broadcast_to(x, (2, 3, 4)).sum(2)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+        nodes = [("Resize", ["x", "", "", "sizes"], ["y"], "y",
+                  {"mode": "nearest"})]
+        path = _write(tmp_path, nodes, {"sizes": inits["sizes"]},
+                      [("x", (2, 3, 4, 4))], [("y", (2, 3, 8, 8))])
+        fn, params = load_onnx(path)
+        x4 = rng.randn(2, 3, 4, 4).astype(np.float32)
+        got = np.asarray(fn(params, jnp.asarray(x4)))
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x4), scale_factor=2, mode="nearest").numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-6)
