@@ -21,11 +21,15 @@ Evidence accumulated over rounds 2-4, all on-chip:
     +15% once, already shipped (matmul_w8a8_staticq).
   - one-dot concat trick and int32 large-M variants: negative (r3,
     scripts/probe_w4_onedot.py, probe_w4_bigm.py).
-Driver-recorded plateau: w8a8 323.8-327.0, w4a8 341-347 TF/s across three
-rounds with +-3% run-to-run chip drift (CLAUDE.md). The remaining gap to
-394 TF/s nominal int8 peak is consistent with MXU pipeline overheads the
-kernel cannot schedule around at these shapes (M=1024 rows = 8 sublane
-passes per 128-wide MXU tile; no legal blocking reached >84% in-session).
+RESOLUTION (late round 4): the "ceiling" was mostly SESSION clock drift,
+not the kernel. With bench.py's interleaved two-pass timing, a full-clock
+session recorded w8a8 354.0 TF/s (90% of int8 peak) and w4a8 374.7 TF/s
+(95%) with the SAME shipped blocks — while other sessions the same day
+read 317/322. Conclusions: (1) the shipped blockings are at or near the
+kernel's own limit; (2) cross-session TF/s comparisons tighter than
+~15% are meaningless on this chip — only interleaved same-session A/Bs
+count; (3) further tuning effort should go to serving-level structure
+(fewer kernel launches), not these blocks.
 """
 import functools
 import sys
