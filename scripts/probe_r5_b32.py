@@ -31,9 +31,12 @@ REPS = 5
 PIN_BEST_TFLOPS = 200.2  # best driver-recorded bf16_xla (BENCH_r03)
 
 
-def slope(op, m, k_in, n_out, n0, n1):
+def slope(op, m, k_in, n_out, n0, n1, *operands):
     """Chain op n times with FULL-output feedback (scalar feedback produced
-    >peak artifacts on int8 chains — tpu-chip-measurement memory)."""
+    >peak artifacts on int8 chains — tpu-chip-measurement memory).
+    ``operands`` (e.g. the weight) are passed as jit ARGUMENTS — closed-over
+    device arrays become HLO constants and large ones blow the remote-
+    compile tunnel's 413 limit (lm_head = 268 MB)."""
     def fold(out):
         if n_out >= k_in and n_out % k_in == 0:
             return out.reshape(m, n_out // k_in, k_in).sum(1)
@@ -41,20 +44,22 @@ def slope(op, m, k_in, n_out, n0, n1):
         return jnp.tile(out, (1, reps))[:, :k_in]
 
     def make(n):
-        def body(i, acc):
-            out = op(acc)
-            return acc + (fold(out) * 1e-9).astype(acc.dtype)
-        return jax.jit(lambda x: jax.lax.fori_loop(0, n, body, x))
+        def run(x, *ops_):
+            def body(i, acc):
+                out = op(acc, *ops_)
+                return acc + (fold(out) * 1e-9).astype(acc.dtype)
+            return jax.lax.fori_loop(0, n, body, x)
+        return jax.jit(run)
 
     times = {}
     for n in (n0, n1):
         f = make(n)
         x0 = jnp.ones((m, k_in), jnp.bfloat16)
-        np.asarray(f(x0)[0:1, 0:1])
+        np.asarray(f(x0, *operands)[0:1, 0:1])
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            np.asarray(f(x0)[0:1, 0:1])
+            np.asarray(f(x0, *operands)[0:1, 0:1])
             best = min(best, time.perf_counter() - t0)
         times[n] = best
     return max((times[n1] - times[n0]) / (n1 - n0), 1e-9)
@@ -76,23 +81,27 @@ def pin_clock():
 
 def main():
     frac = pin_clock()
-    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
     shapes = [("wqkv", 4096, 6144), ("wo", 4096, 4096),
               ("gateup", 4096, 28672), ("down", 14336, 4096),
               ("lm_head", 4096, 131072)]
     for m in (16, 32):
         total = {"dec": 0.0, "fq": 0.0}
         for name, K, N in shapes:
-            wp = jnp.asarray(rng.randint(-128, 128, (K // 2, N)), jnp.int8)
+            # on-device generation: host operands >264 MB hit the tunnel's
+            # HTTP 413 limit (lm_head is 268 MB)
+            key, sub = jax.random.split(key)
+            wp = jax.random.randint(sub, (K // 2, N), -128, 128,
+                                    dtype=jnp.int8)
             s = jnp.full((N,), 1e-4, jnp.float32)
             wbytes = K * N / 2
             # ~35us/call floor -> 3000+ extra calls would be overkill;
             # size chains for >=200ms of slope signal per measurement
             n0, n1 = 64, 64 + max(512, int(0.25 / (wbytes / 700e9)))
-            t_dec = slope(lambda a: matmul_w4_decode(
-                a, wp, s, out_dtype=jnp.bfloat16), m, K, N, n0, n1)
-            t_fq = slope(lambda a: matmul_w4a8(
-                a, wp, s, out_dtype=jnp.bfloat16), m, K, N, n0, n1)
+            t_dec = slope(lambda a, w: matmul_w4_decode(
+                a, w, s, out_dtype=jnp.bfloat16), m, K, N, n0, n1, wp)
+            t_fq = slope(lambda a, w: matmul_w4a8(
+                a, w, s, out_dtype=jnp.bfloat16), m, K, N, n0, n1, wp)
             total["dec"] += t_dec * (32 if name != "lm_head" else 1)
             total["fq"] += t_fq * (32 if name != "lm_head" else 1)
             print(f"M={m} {name} K={K} N={N}: w4_decode {t_dec*1e6:.1f} us "
