@@ -179,6 +179,97 @@ def _conv(x, w, b, attrs):
     return out
 
 
+def _conv_transpose(x, w, b, attrs):
+    """ONNX ConvTranspose (NCHW, W is (C_in, C_out/group, kH, kW)):
+    gradient-of-conv semantics via lhs-dilated conv with a spatially
+    flipped, IO-swapped kernel. Covers strides/pads/dilations/
+    output_padding/group; rejects auto_pad and explicit output_shape."""
+    if attrs.get("auto_pad", "NOTSET") not in ("NOTSET", b"NOTSET"):
+        raise NotImplementedError("ConvTranspose auto_pad")
+    if attrs.get("output_shape"):
+        raise NotImplementedError("ConvTranspose output_shape")
+    g = int(attrs.get("group", 1))
+    kh, kw = w.shape[2], w.shape[3]
+    dh, dw = attrs.get("dilations", (1, 1))
+    sh, sw = attrs.get("strides", (1, 1))
+    pads = attrs.get("pads", [0, 0, 0, 0])
+    oph, opw = attrs.get("output_padding", (0, 0))
+    # (Cin, Cout/g, kh, kw) -> OIHW for the forward conv: O = g*Cout/g,
+    # I = Cin/g, spatially flipped
+    ci, cog = w.shape[0], w.shape[1]
+    wf = w.reshape(g, ci // g, cog, kh, kw)
+    wf = jnp.flip(wf, axis=(3, 4))
+    wf = jnp.transpose(wf, (0, 2, 1, 3, 4)).reshape(g * cog, ci // g, kh, kw)
+    keh, kew = (kh - 1) * dh + 1, (kw - 1) * dw + 1
+    pad = ((keh - 1 - pads[0], keh - 1 - pads[2] + oph),
+           (kew - 1 - pads[1], kew - 1 - pads[3] + opw))
+    out = jax.lax.conv_general_dilated(
+        x, wf, window_strides=(1, 1), padding=pad,
+        lhs_dilation=(sh, sw), rhs_dilation=(dh, dw),
+        feature_group_count=g,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1)
+    return out
+
+
+def _gru(node, ins, a):
+    """ONNX GRU (zrh gate order, default activations Sigmoid/Tanh, layout
+    0): X (T, B, I), W (D, 3H, I), R (D, 3H, H), B (D, 6H). Returns
+    (Y (T, D, B, H), Y_h (D, B, H)). linear_before_reset both variants."""
+    X, W, R = ins[0], ins[1], ins[2]
+    hidden = R.shape[2]
+    n_dirs = W.shape[0]
+    direction = a.get("direction", "forward")
+    if direction not in ("forward", "reverse", "bidirectional"):
+        raise NotImplementedError(f"GRU direction {direction!r}")
+    if (direction == "bidirectional") != (n_dirs == 2):
+        raise ValueError("GRU direction/W mismatch")
+    if a.get("activations") not in (None, ["Sigmoid", "Tanh"],
+                                    ["Sigmoid", "Tanh"] * n_dirs):
+        raise NotImplementedError("GRU non-default activations")
+    if len(ins) > 4 and ins[4] is not None:
+        raise NotImplementedError("GRU sequence_lens not supported")
+    if a.get("clip") is not None:
+        raise NotImplementedError("GRU clip not supported")
+    lbr = bool(a.get("linear_before_reset", 0))
+    B = ins[3] if len(ins) > 3 and ins[3] is not None else \
+        jnp.zeros((n_dirs, 6 * hidden), X.dtype)
+    T, batch, _ = X.shape
+    h0 = ins[5] if len(ins) > 5 and ins[5] is not None else \
+        jnp.zeros((n_dirs, batch, hidden), X.dtype)
+
+    def run_dir(xs, w, r, b, h_init):
+        wb, rb = b[:3 * hidden], b[3 * hidden:]
+        wz, wr, wh = jnp.split(w, 3, axis=0)          # zrh order
+        rz, rr, rh = jnp.split(r, 3, axis=0)
+        wbz, wbr, wbh = jnp.split(wb, 3)
+        rbz, rbr, rbh = jnp.split(rb, 3)
+
+        def step(h, x_t):
+            z = jax.nn.sigmoid(x_t @ wz.T + h @ rz.T + wbz + rbz)
+            rg = jax.nn.sigmoid(x_t @ wr.T + h @ rr.T + wbr + rbr)
+            if lbr:
+                hh = jnp.tanh(x_t @ wh.T + rg * (h @ rh.T + rbh) + wbh)
+            else:
+                hh = jnp.tanh(x_t @ wh.T + (rg * h) @ rh.T + rbh + wbh)
+            h_new = (1 - z) * hh + z * h
+            return h_new, h_new
+
+        h_l, ys = jax.lax.scan(step, h_init, xs)
+        return ys, h_l
+
+    if direction == "reverse":
+        ys, h_l = run_dir(X[::-1], W[0], R[0], B[0], h0[0])
+        return ys[::-1][:, None], h_l[None]
+    ys_f, h_f = run_dir(X, W[0], R[0], B[0], h0[0])
+    if n_dirs == 1:
+        return ys_f[:, None], h_f[None]
+    ys_b, h_b = run_dir(X[::-1], W[1], R[1], B[1], h0[1])
+    return (jnp.stack([ys_f, ys_b[::-1]], axis=1),
+            jnp.stack([h_f, h_b]))
+
+
 def _pool(x, attrs, kind):
     k = attrs["kernel_shape"]
     s = attrs.get("strides", k)
@@ -495,6 +586,88 @@ def _run_node(node, val):
         return jax.image.resize(x, tuple(sizes), method=method)
     if t == "LSTM":
         return _lstm(node, ins, a)
+    if t == "GRU":
+        return _gru(node, ins, a)
+    if t == "ConvTranspose":
+        return _conv_transpose(ins[0], ins[1],
+                               ins[2] if len(ins) > 2 else None, a)
+    if t == "InstanceNormalization":
+        x, scale, b = ins[:3]
+        axes = tuple(range(2, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        shape = [1, -1] + [1] * (x.ndim - 2)
+        eps = a.get("epsilon", 1e-5)
+        return (x - mean) * jax.lax.rsqrt(var + eps) \
+            * scale.reshape(shape) + b.reshape(shape)
+    if t in ("ArgMax", "ArgMin"):
+        if a.get("select_last_index"):
+            raise NotImplementedError(f"{t} select_last_index")
+        axis = a.get("axis", 0)
+        f = jnp.argmax if t == "ArgMax" else jnp.argmin
+        idx = f(ins[0], axis=axis).astype(jnp.int64)
+        return jnp.expand_dims(idx, axis) if a.get("keepdims", 1) else idx
+    if t == "TopK":
+        k = _static_ints(ins[1])[0]
+        axis = a.get("axis", -1)
+        largest = bool(a.get("largest", 1))
+        x = jnp.moveaxis(ins[0], axis, -1)
+        vals, idx = jax.lax.top_k(x if largest else -x, k)
+        if not largest:
+            vals = -vals
+        return (jnp.moveaxis(vals, -1, axis),
+                jnp.moveaxis(idx, -1, axis).astype(jnp.int64))
+    if t == "LeakyRelu":
+        alpha = a.get("alpha", 0.01)
+        return jnp.where(ins[0] >= 0, ins[0], alpha * ins[0])
+    if t == "Elu":
+        alpha = a.get("alpha", 1.0)
+        return jnp.where(ins[0] >= 0, ins[0],
+                         alpha * (jnp.exp(ins[0]) - 1.0))
+    if t == "PRelu":
+        slope = ins[1]
+        return jnp.where(ins[0] >= 0, ins[0], slope * ins[0])
+    if t == "HardSigmoid":
+        alpha, beta = a.get("alpha", 0.2), a.get("beta", 0.5)
+        return jnp.clip(alpha * ins[0] + beta, 0.0, 1.0)
+    if t == "HardSwish":
+        return ins[0] * jnp.clip(ins[0] / 6.0 + 0.5, 0.0, 1.0)
+    if t == "Softplus":
+        return jax.nn.softplus(ins[0])
+    if t == "Abs":
+        return jnp.abs(ins[0])
+    if t in ("Floor", "Ceil", "Round"):
+        f = {"Floor": jnp.floor, "Ceil": jnp.ceil, "Round": jnp.round}[t]
+        return f(ins[0])
+    if t == "Reciprocal":
+        return 1.0 / ins[0]
+    if t in ("Greater", "Less", "GreaterOrEqual", "LessOrEqual"):
+        f = {"Greater": jnp.greater, "Less": jnp.less,
+             "GreaterOrEqual": jnp.greater_equal,
+             "LessOrEqual": jnp.less_equal}[t]
+        return f(ins[0], ins[1])
+    if t == "Not":
+        return jnp.logical_not(ins[0])
+    if t in ("And", "Or", "Xor"):
+        f = {"And": jnp.logical_and, "Or": jnp.logical_or,
+             "Xor": jnp.logical_xor}[t]
+        return f(ins[0], ins[1])
+    if t == "Sum":
+        out = ins[0]
+        for x in ins[1:]:
+            out = out + x
+        return out
+    if t == "Tile":
+        return jnp.tile(ins[0], _static_ints(ins[1]))
+    if t == "ConstantOfShape":
+        val = a.get("value")
+        fill = np.asarray(val).reshape(-1)[0] if val is not None else 0.0
+        dt = np.asarray(val).dtype if val is not None else np.float32
+        return jnp.full(_static_ints(ins[0]), fill, dtype=dt)
+    if t == "Range":
+        start, limit, delta = (_static_ints(v)[0] for v in ins[:3])
+        return jnp.arange(start, limit, delta,
+                          dtype=np.asarray(ins[0]).dtype)
     raise NotImplementedError(f"onnx_reader: op {t}")
 
 

@@ -106,7 +106,7 @@ def _fused_kernel(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
                                              "n_f"))
 def fused_wo_mlp(attn_out, resid, wo_pair, gate_pair, up_pair, down_pair,
                  mlp_gamma, *, eps: float = 1e-5, block_a: int = 2048,
-                 block_g: int = 2048, block_d: int = 1024,
+                 block_g: int = 1024, block_d: int = 512,
                  up_block_offset: int = 0, n_f: int = 0):
     """out = y + W_down-proj(silu(g)*u),  y = resid + W_o-proj(attn_out),
     (g, u) = rmsnorm(y, mlp_gamma) @ (W_gate, W_up) — all INT4 weight-only

@@ -289,9 +289,15 @@ def _fused_decode_blocks(cfg, m: int, mode: str):
         return None
     if jax.default_backend() != "tpu":
         return None
+    # blocks swept on-chip at 8B shapes (scripts/probe_r5_fused.py +
+    # /tmp/sweep2: ba=2048 bg=1024 bd=512 = 146 us vs 156 for the first
+    # guess — N-narrow, K-deep tiles stream best, consistent with the
+    # standalone decode-kernel sweeps)
     D, F = cfg.d_model, cfg.d_ff
     A = cfg.n_heads * cfg.head_dim
-    ba, bg, bd = _pick_block(D), _pick_block(F), _pick_block(D, (1024, 512, 256))
+    ba = _pick_block(D)
+    bg = _pick_block(F, (1024, 2048, 512, 256))
+    bd = _pick_block(D, (512, 1024, 256))
     if not (ba and bg and bd) or A % 2 or D % 2 or F % 2:
         return None
     if D < 1024 or F < 1024:

@@ -32,6 +32,45 @@ N_TRAIN = 512
 N_EVAL = 256
 BATCH = 32
 
+# ---------------------------------------------------------------------------
+# FROZEN GATE MANIFEST (VERDICT r4 next #10). These constants define the
+# difficulty of every accuracy gate in this file: dataset construction
+# seeds, base/delta amplitudes, training epochs and pass thresholds. They
+# are PINNED as of round 5 — test_gate_manifest_frozen below hashes them,
+# so any re-tuning of task difficulty is a visible, reviewable diff of
+# the hash line, never a silent recalibration. Gates may only move via
+# code improvements.
+# ---------------------------------------------------------------------------
+GATE_MANIFEST = {
+    "dataset": {"base_seed": 141, "delta_seed": 142, "train_key": 0,
+                "eval_key": 1, "noise_amp": 0.05,
+                "n_train": N_TRAIN, "n_eval": N_EVAL,
+                "num_classes": NUM_CLASSES, "img": IMG},
+    "mbv2_dfq": {"base_amp": 1.0, "delta_amp": 0.6, "epochs": 20,
+                 "lr": 1e-3, "width_mult": 0.35, "fp_floor": 0.9,
+                 "delta_gate": 0.015, "seeds": (2, 3)},
+    "resnet_adaround": {"base_amp": 1.5, "delta_amp": 0.4, "epochs": 12,
+                        "num_filters": 8, "fp_floor": 0.9,
+                        "collapse_min": 0.05, "recover_frac": 0.5},
+    "resnet_compression": {"base_amp": 0.5, "delta_amp": 1.0, "epochs": 12,
+                           "num_filters": 24, "fp_floor": 0.9,
+                           "target_mac": 0.52, "delta_gate": 0.015},
+}
+GATE_MANIFEST_SHA = \
+    "bef3d10222f7abe569bbb9c46fcbc2deb60e6a75d2436ea5987dc0fbc77ce0a6"
+
+
+def test_gate_manifest_frozen():
+    import hashlib
+    import json
+    got = hashlib.sha256(
+        json.dumps(GATE_MANIFEST, sort_keys=True, default=repr)
+        .encode()).hexdigest()
+    assert got == GATE_MANIFEST_SHA, (
+        f"accuracy-gate difficulty changed (sha {got}); gates are frozen "
+        f"as of r5 — update GATE_MANIFEST_SHA only with an explicit "
+        f"justification in the commit message")
+
 
 def _make_dataset(key, n, base_amp, delta_amp):
     base = jax.random.normal(jax.random.PRNGKey(141), (1, IMG, IMG, 3))
@@ -92,19 +131,24 @@ def _accuracy(fn, v, x, y):
 
 
 class TestMobileNetV2DFQ:
-    def test_dfq_int8_within_one_point(self):
+    @pytest.mark.parametrize("seed", [2, 3])
+    def test_dfq_int8_within_one_point(self, seed):
         """BASELINE row 1 in miniature on the real MobileNetV2 definition:
         INT8 quantsim after the DFQ pipeline, accuracy delta <= 1.5pt.
         AutoQuant-style best-of-stages: CLE helps nets with imbalanced
         per-channel ranges; a freshly trained balanced net can be best at
         plain quantsim (the reference's AutoQuant keeps the best stage
-        for exactly this reason, v1/auto_quant.py:204)."""
+        for exactly this reason, v1/auto_quant.py:204).
+
+        Parametrized over two init seeds (VERDICT r4 next #10): the gate
+        must hold across independently trained nets, so it cannot be
+        satisfied by a lucky initialization."""
         from aimet_tpu.algorithms.cle import equalize_model
         from aimet_tpu.graph.connected_graph import ConnectedGraph
         model = MobileNetV2(num_classes=NUM_CLASSES, width_mult=0.35)
         # lr 3e-3 diverges at this depth; 1e-3 reaches 1.00 eval
         fn, v, xtr, ytr, xev, yev, calib = _setup(
-            model, base_amp=1.0, delta_amp=0.6, epochs=20)
+            model, base_amp=1.0, delta_amp=0.6, epochs=20, seed=seed)
         acc_fp = _accuracy(fn, v, xev, yev)
         assert acc_fp > 0.9, acc_fp
 
