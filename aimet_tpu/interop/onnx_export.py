@@ -69,7 +69,7 @@ def _str(field: int, s: str) -> bytes:
 
 
 # onnx TensorProto.DataType
-F32, I64, I8 = 1, 7, 3
+F32, I64, I8, I32, BOOL = 1, 7, 3, 6, 9
 # AttributeProto.AttributeType
 AT_FLOAT, AT_INT, AT_STRING, AT_TENSOR, AT_FLOATS, AT_INTS = 1, 2, 3, 4, 6, 7
 
@@ -82,6 +82,10 @@ def _tensor(name: str, arr: np.ndarray) -> bytes:
         dt = I64
     elif arr.dtype == np.int8:
         dt = I8
+    elif arr.dtype == np.int32:
+        dt = I32
+    elif arr.dtype == np.bool_:
+        dt = BOOL
     else:
         arr = arr.astype(np.float32)
         dt = F32

@@ -86,7 +86,7 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     name = (_get(fs, 8) or [b""])[0].decode()
     raw = (_get(fs, 9) or [b""])[0]
     np_dt = {1: np.float32, 7: np.int64, 3: np.int8,
-             6: np.int32}[int(dt)]
+             6: np.int32, 9: np.bool_}[int(dt)]
     arr = np.frombuffer(raw, dtype=np_dt).reshape(dims)
     return name, arr
 
