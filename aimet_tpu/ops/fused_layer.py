@@ -70,7 +70,7 @@ def _split_half(x, dtype):
 
 def _fused_kernel(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
                   sg_ref, wu_ref, su_ref, wd_ref, sd_ref, out_ref,
-                  y_ref, h_ref, *, ja, j1, ba, bg, bd, eps):
+                  y_ref, h_ref, *, ja, j1, j2, ba, bg, bd, eps):
     j = pl.program_id(0)
     dt = ao_ref.dtype
 
@@ -93,21 +93,55 @@ def _fused_kernel(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
         hb = gate * jax.lax.logistic(gate) * up
         h_ref[:, pl.ds(jj * bg, bg)] = hb.astype(h_ref.dtype)
 
-    @pl.when(j >= ja + j1)
+    @pl.when((j >= ja + j1) & (j < ja + j1 + j2))
     def _phase_c():
+        # the upper bound matters: the phase-D variant extends the grid
+        # past ja+j1+j2, and an unbounded phase C re-executing there
+        # writes through out-of-range dynamic slices (real-chip
+        # corruption at bm >= 16, benign-looking in interpret mode)
         jj = j - ja - j1
         h_lo, h_hi, rs = _split_half(h_ref[:], dt)
         ob = _w4_block(h_lo, h_hi, rs, wd_ref, sd_ref).astype(dt)
-        out_ref[:] = ob + y_ref[:, pl.ds(jj * bd, bd)]
+        # out_ref is ONE constant-index (M, D) block (tiny), so phase C
+        # writes slices and phase D can read the whole row back
+        out_ref[:, pl.ds(jj * bd, bd)] = ob + y_ref[:, pl.ds(jj * bd, bd)]
+
+
+def _fused_kernel_qkv(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
+                      sg_ref, wu_ref, su_ref, wd_ref, sd_ref, agamma_ref,
+                      wq_ref, sq_ref, out_ref, qkv_ref, y_ref, h_ref,
+                      *, ja, j1, j2, ba, bg, bd, eps):
+    """The wo+mlp kernel with PHASE D: the NEXT layer's attention-norm +
+    QKV projection computed from the freshly built output while its
+    weights stream behind the MLP phases — one pallas call per decode
+    layer, zero standalone qkv kernel (VERDICT r4 #1, second cut)."""
+    j = pl.program_id(0)
+    dt = ao_ref.dtype
+
+    _fused_kernel(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
+                  sg_ref, wu_ref, su_ref, wd_ref, sd_ref, out_ref,
+                  y_ref, h_ref, ja=ja, j1=j1, j2=j2, ba=ba, bg=bg, bd=bd,
+                  eps=eps)
+
+    @pl.when(j >= ja + j1 + j2)
+    def _phase_d():
+        jj = j - ja - j1 - j2
+        of = out_ref[:].astype(jnp.float32)
+        r = jax.lax.rsqrt(jnp.mean(of * of, axis=1, keepdims=True) + eps)
+        ohat = ((of * r).astype(dt) * agamma_ref[:]).astype(dt)
+        o_lo, o_hi, rs = _split_half(ohat, dt)
+        del jj  # qkv_ref is the phase-local block; index map selects it
+        qkv_ref[:] = _w4_block(o_lo, o_hi, rs, wq_ref, sq_ref).astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_a", "block_g",
-                                             "block_d", "up_block_offset",
-                                             "n_f"))
+                                             "block_d", "block_q",
+                                             "up_block_offset", "n_f"))
 def fused_wo_mlp(attn_out, resid, wo_pair, gate_pair, up_pair, down_pair,
                  mlp_gamma, *, eps: float = 1e-5, block_a: int = 2048,
                  block_g: int = 1024, block_d: int = 512,
-                 up_block_offset: int = 0, n_f: int = 0):
+                 block_q: int = 0, up_block_offset: int = 0, n_f: int = 0,
+                 next_qkv=None):
     """out = y + W_down-proj(silu(g)*u),  y = resid + W_o-proj(attn_out),
     (g, u) = rmsnorm(y, mlp_gamma) @ (W_gate, W_up) — all INT4 weight-only
     (split-half packed, per-channel scales), one pallas_call.
@@ -121,6 +155,13 @@ def fused_wo_mlp(attn_out, resid, wo_pair, gate_pair, up_pair, down_pair,
     both gate_pair and up_pair with ``up_block_offset = F // block_g`` and
     ``n_f = F`` — the up half is then addressed by block-index offset, no
     column-slice copy of the weight is ever materialized in HBM.
+
+    ``next_qkv = ((wqkv_packed, wqkv_scale), attn_gamma)``: adds PHASE D —
+    the NEXT layer's rmsnorm + QKV projection computed in the same grid
+    (its weight streams right behind W_down), returning
+    ``(out, next_qkv_proj)`` instead of ``out``. One pallas call per
+    decode layer; the standalone qkv kernel (19.4 us/layer in-context,
+    scripts/probe_r5_glue2.py) disappears.
     """
     wo_p, so = wo_pair
     wg_p, sg = gate_pair
@@ -159,35 +200,75 @@ def fused_wo_mlp(attn_out, resid, wo_pair, gate_pair, up_pair, down_pair,
                               + jnp.clip(j - ja, 0, j1 - 1))))
     d_idx = lambda j: (0, jnp.clip(j - ja - j1, 0, j2 - 1))
 
-    out = pl.pallas_call(
-        functools.partial(_fused_kernel, ja=ja, j1=j1, ba=ba, bg=bg, bd=bd,
-                          eps=eps),
-        grid=(ja + j1 + j2,),
-        in_specs=[
-            spec((bm, A), const),            # attn_out
-            spec((bm, D), const),            # resid
-            spec((1, D), const),             # mlp norm gamma
-            spec((A // 2, ba), a_idx),       # wo packed
-            spec((1, ba), a_idx),            # wo scale
-            spec((D // 2, bg), g_idx),       # w_gate packed
-            spec((1, bg), g_idx),
-            spec((D // 2, bg), u_idx),       # w_up packed
-            spec((1, bg), g_idx),
-            spec((F // 2, bd), d_idx),       # w_down packed
-            spec((1, bd), d_idx),
-        ],
-        out_specs=spec((bm, bd), d_idx),
-        out_shape=jax.ShapeDtypeStruct((bm, D), dt),
-        scratch_shapes=[pltpu.VMEM((bm, D), dt),     # y
-                        pltpu.VMEM((bm, F), dt)],    # h
+    in_specs = [
+        spec((bm, A), const),            # attn_out
+        spec((bm, D), const),            # resid
+        spec((1, D), const),             # mlp norm gamma
+        spec((A // 2, ba), a_idx),       # wo packed
+        spec((1, ba), a_idx),            # wo scale
+        spec((D // 2, bg), g_idx),       # w_gate packed
+        spec((1, bg), g_idx),
+        spec((D // 2, bg), u_idx),       # w_up packed
+        spec((1, bg), g_idx),
+        spec((F // 2, bd), d_idx),       # w_down packed
+        spec((1, bd), d_idx),
+    ]
+    operands = [ao, resid, gamma, wo_p, row(so, D), wg_p, row(sg, F), wu_p,
+                row(su, F), wd_p, row(sd, D)]
+    scratch = [pltpu.VMEM((bm, D), dt),     # y
+               pltpu.VMEM((bm, F), dt)]     # h
+    cost = pl.CostEstimate(
+        flops=2 * bm * (A * D + 2 * D * F + F * D),
+        bytes_accessed=(A * D + 2 * D * F + F * D) // 2 + 3 * bm * D * 2,
+        transcendentals=bm * F)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024)
+
+    if next_qkv is None:
+        out = pl.pallas_call(
+            functools.partial(_fused_kernel, ja=ja, j1=j1, j2=j2, ba=ba,
+                              bg=bg, bd=bd, eps=eps),
+            grid=(ja + j1 + j2,),
+            in_specs=in_specs,
+            out_specs=spec((bm, D), const),
+            out_shape=jax.ShapeDtypeStruct((bm, D), dt),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            compiler_params=cparams,
+            interpret=_interpret(),
+        )(*operands)
+        return out[:m0]
+
+    (wq_p, sq), attn_gamma = next_qkv
+    assert wq_p.shape[0] == D // 2, wq_p.shape
+    Nq = wq_p.shape[1]
+    bq = block_q or min(2048, Nq)
+    assert Nq % bq == 0, (Nq, bq)
+    jq = Nq // bq
+    q_idx = lambda j: (0, jnp.clip(j - ja - j1 - j2, 0, jq - 1))
+    in_specs += [
+        spec((1, D), const),             # attn norm gamma (next layer)
+        spec((D // 2, bq), q_idx),       # wqkv packed (next layer)
+        spec((1, bq), q_idx),
+    ]
+    operands += [jnp.reshape(attn_gamma, (1, D)).astype(dt), wq_p,
+                 row(sq, Nq)]
+    out, qkv = pl.pallas_call(
+        functools.partial(_fused_kernel_qkv, ja=ja, j1=j1, j2=j2, ba=ba,
+                          bg=bg, bd=bd, eps=eps),
+        grid=(ja + j1 + j2 + jq,),
+        in_specs=in_specs,
+        out_specs=[spec((bm, D), const), spec((bm, bq), q_idx)],
+        out_shape=[jax.ShapeDtypeStruct((bm, D), dt),
+                   jax.ShapeDtypeStruct((bm, Nq), dt)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=2 * bm * (A * D + 2 * D * F + F * D),
-            bytes_accessed=(A * D + 2 * D * F + F * D) // 2 + 3 * bm * D * 2,
+            flops=2 * bm * (A * D + 2 * D * F + F * D + D * Nq),
+            bytes_accessed=(A * D + 2 * D * F + F * D + D * Nq) // 2
+            + 3 * bm * D * 2,
             transcendentals=bm * F),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=cparams,
         interpret=_interpret(),
-    )(ao, resid, gamma, wo_p, row(so, D), wg_p, row(sg, F), wu_p,
-      row(su, F), wd_p, row(sd, D))
-    return out[:m0]
+    )(*operands)
+    return out[:m0], qkv[:m0]

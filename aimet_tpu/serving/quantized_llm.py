@@ -217,9 +217,21 @@ def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
     BEFORE the W_o projection — the fused decode layer kernel
     (ops/fused_layer.fused_wo_mlp) folds W_o + residual + norm + MLP into
     one pallas_call."""
-    B, T, _ = x.shape
-    H, KH, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     qkv = _proj(x, layer["wqkv"], mode, allow_pallas)
+    return _attention_from_qkv(cfg, layer, qkv, cos, sin, mask, cache,
+                               cache_index, mode, prefill, allow_pallas,
+                               project_out)
+
+
+def _attention_from_qkv(cfg, layer, qkv, cos, sin, mask,
+                        cache: Optional[QuantizedKVCache], cache_index,
+                        mode, prefill: bool, allow_pallas=True,
+                        project_out: bool = True):
+    """Attention from a precomputed QKV projection (B, T, (H+2KH)*D) —
+    the fused decode path computes qkv inside the previous layer's
+    megakernel (phase D) and enters here."""
+    B, T, _ = qkv.shape
+    H, KH, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     q = qkv[..., :H * D].reshape(B, T, H, D)
     k = qkv[..., H * D:(H + KH) * D].reshape(B, T, KH, D)
     v = qkv[..., (H + KH) * D:].reshape(B, T, KH, D)
@@ -241,14 +253,14 @@ def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
         q5 = q5 * (cache.k_scale[:, None, :, None, None] / np.sqrt(D)
                    ).astype(q5.dtype)
         scores = jnp.einsum("btkrd,bskd->bkrts", q5,
-                            cache.k.astype(x.dtype),
+                            cache.k.astype(qkv.dtype),
                             preferred_element_type=jnp.float32)
         if mask is not None:
             # mask (B?|1, 1, T, S) -> (B?|1, 1, 1, T, S)
             scores = jnp.where(mask[:, :, None], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        probs = jax.nn.softmax(scores, axis=-1).astype(qkv.dtype)
         out = jnp.einsum("bkrts,bskd->btkrd", probs,
-                         cache.v.astype(x.dtype))
+                         cache.v.astype(qkv.dtype))
         out = out * cache.v_scale[:, None, :, None, None].astype(out.dtype)
         out = out.reshape(B, T, H * D)
         if not project_out:
@@ -261,7 +273,7 @@ def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
                         preferred_element_type=jnp.float32) / np.sqrt(D)
     if mask is not None:
         scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(qkv.dtype)
     out = jnp.einsum("bhts,bshd->bthd", probs, v_full).reshape(B, T, H * D)
     return _proj(out, layer["wo"], mode, allow_pallas), cache
 
@@ -348,25 +360,42 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
     if not prefill and caches is not None and allow_pallas:
         fused = _fused_decode_blocks(cfg, B * T, mode)
     new_caches = []
-    for i in range(cfg.n_layers):
-        layer = qw["layers"][i]
-        cache = caches[i] if caches is not None else None
-        if fused is not None:
-            from ..ops.fused_layer import fused_wo_mlp
-            ba, bg, bd = fused
-            F = cfg.d_ff
-            raw, cache = _attention(
-                cfg, layer, _rms_norm(x, layer["attn_norm"], cfg.norm_eps),
-                cos, sin, mask, cache, cache_index, mode, prefill,
-                allow_pallas, project_out=False)
+    if fused is not None:
+        # ONE pallas call per layer: layer i's megakernel computes
+        # wo+residual+norm+mlp AND layer i+1's attn-norm+qkv (phase D);
+        # only layer 0's qkv needs a standalone projection. Between
+        # kernels: rope + INT8-KV append + attention einsums (XLA).
+        from ..ops.fused_layer import fused_wo_mlp
+        ba, bg, bd = fused
+        F = cfg.d_ff
+        layers = qw["layers"]
+        xn0 = _rms_norm(x, layers[0]["attn_norm"], cfg.norm_eps)
+        qkv = _proj(xn0, layers[0]["wqkv"], mode, allow_pallas)
+        for i in range(cfg.n_layers):
+            layer = layers[i]
+            raw, cache = _attention_from_qkv(
+                cfg, layer, qkv, cos, sin, mask, caches[i], cache_index,
+                mode, prefill, allow_pallas, project_out=False)
             wgu_p, s_gu = layer["w_gateup"]
+            last = i == cfg.n_layers - 1
+            nxt = None if last else (layers[i + 1]["wqkv"],
+                                     layers[i + 1]["attn_norm"])
             out = fused_wo_mlp(
                 raw.reshape(B * T, -1), x.reshape(B * T, -1), layer["wo"],
                 (wgu_p, s_gu[:F]), (wgu_p, s_gu[F:]), layer["w_down"],
                 layer["mlp_norm"], eps=cfg.norm_eps, block_a=ba, block_g=bg,
-                block_d=bd, up_block_offset=F // bg, n_f=F)
-            x = out.reshape(B, T, -1)
-        else:
+                block_d=bd, up_block_offset=F // bg, n_f=F, next_qkv=nxt)
+            if last:
+                x = out.reshape(B, T, -1)
+            else:
+                out, qkv2 = out
+                x = out.reshape(B, T, -1)
+                qkv = qkv2.reshape(B, T, -1)
+            new_caches.append(cache)
+    else:
+        for i in range(cfg.n_layers):
+            layer = qw["layers"][i]
+            cache = caches[i] if caches is not None else None
             h, cache = _attention(
                 cfg, layer, _rms_norm(x, layer["attn_norm"], cfg.norm_eps),
                 cos, sin, mask, cache, cache_index, mode, prefill,
@@ -375,7 +404,7 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
             x = x + _mlp(cfg, layer,
                          _rms_norm(x, layer["mlp_norm"], cfg.norm_eps),
                          mode, allow_pallas)
-        new_caches.append(cache)
+            new_caches.append(cache)
     x = _rms_norm(x, qw["final_norm"], cfg.norm_eps)
     logits = _qmm(x.reshape(B * T, -1), *qw["lm_head"], mode=mode,
                   allow_pallas=allow_pallas)

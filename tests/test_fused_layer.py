@@ -41,6 +41,30 @@ def test_fused_wo_mlp_matches_xla_composition(rng, m):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_wo_mlp_next_qkv_phase_d(rng):
+    """next_qkv: (out, qkv) where qkv = rmsnorm(out, attn_gamma) @ Wqkv."""
+    m, A, D, F, Nq = 16, 256, 256, 512, 384
+    ao = jnp.asarray(rng.randn(m, A).astype(np.float32) * 0.5)
+    resid = jnp.asarray(rng.randn(m, D).astype(np.float32) * 0.5)
+    gamma = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+    agamma = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+    mk = lambda k, n: quantize_weight_int4(
+        jnp.asarray(rng.randn(k, n).astype(np.float32) * (1.5 / np.sqrt(k))))
+    pairs = (mk(A, D), mk(D, F), mk(D, F), mk(F, D))
+    wq = mk(D, Nq)
+    eps = 1e-5
+    out, qkv = fused_wo_mlp(ao, resid, *pairs, gamma, eps=eps, block_a=128,
+                            block_g=128, block_d=128, block_q=128,
+                            next_qkv=(wq, agamma))
+    ref_out = _reference(ao, resid, pairs, gamma, eps)
+    ref_qkv = matmul_w4_xla(_rms_norm(ref_out, agamma, eps), *wq,
+                            out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qkv), np.asarray(ref_qkv),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_wo_mlp_bf16_and_rect_blocks(rng):
     """bf16 activations (the serving dtype) + A != D + uneven block
     counts; tolerance at bf16 resolution."""
