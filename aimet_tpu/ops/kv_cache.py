@@ -41,11 +41,23 @@ def _quant(x, scale):
 
 
 def prefill_kv(cache: QuantizedKVCache, k: jax.Array, v: jax.Array,
-               start: int = 0) -> QuantizedKVCache:
-    """Write the prefill K/V and fix per-head scales from their absmax."""
+               start: int = 0, lengths=None) -> QuantizedKVCache:
+    """Write the prefill K/V and fix per-head scales from their absmax.
+
+    ``lengths`` (B,) restricts the absmax to each row's first ``lengths``
+    positions — required when prompts are right-padded to a common length
+    (batched admission waves): without it a request's KV scale would
+    depend on its wave-mates' padding garbage, making generation
+    schedule-dependent."""
     eps = 1e-8
-    k_scale = jnp.maximum(jnp.max(jnp.abs(k), axis=(1, 3)), eps) / 127.0
-    v_scale = jnp.maximum(jnp.max(jnp.abs(v), axis=(1, 3)), eps) / 127.0
+    ka, va = jnp.abs(k), jnp.abs(v)
+    if lengths is not None:
+        valid = (jnp.arange(k.shape[1])[None, :]
+                 < jnp.asarray(lengths)[:, None])[:, :, None, None]
+        ka = jnp.where(valid, ka, 0.0)
+        va = jnp.where(valid, va, 0.0)
+    k_scale = jnp.maximum(jnp.max(ka, axis=(1, 3)), eps) / 127.0
+    v_scale = jnp.maximum(jnp.max(va, axis=(1, 3)), eps) / 127.0
     kq = _quant(k, k_scale)
     vq = _quant(v, v_scale)
     new_k = jax.lax.dynamic_update_slice(cache.k, kq, (0, start, 0, 0))

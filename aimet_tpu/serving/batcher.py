@@ -35,15 +35,25 @@ class ContinuousBatcher:
     Python path below is the fallback and the behavioral reference."""
 
     def __init__(self, llm: QuantizedLLM, num_slots: int = 4,
-                 use_native: bool = True):
+                 use_native: bool = True, step_chunk: int = 1):
+        """``step_chunk``: decode this many tokens per engine step inside
+        ONE jitted lax.scan before syncing to the host (multi-step
+        scheduling). With a high host<->device latency (the axon relay
+        here costs ~200 ms per fetch), per-token host sync dominates; a
+        chunk amortizes it K-fold. Admission and slot-freeing happen at
+        chunk boundaries; a request finishing mid-chunk wastes at most
+        K-1 slot-steps (its tail tokens are discarded, the stale cache
+        rows are masked out by the per-slot position on reuse)."""
         self.llm = llm
         self.num_slots = num_slots
+        self.step_chunk = max(1, int(step_chunk))
         self.caches = llm.new_caches(num_slots)
         self.positions = np.zeros(num_slots, np.int32)
         self.next_token = np.zeros(num_slots, np.int32)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self._uid = 0
         self.pending: List[Request] = []
+        self._chunk_fn = None
         self._sched = None
         if use_native:
             from .. import native
@@ -96,74 +106,150 @@ class ContinuousBatcher:
     def _prefill_llm(self, req: Request, slot: int) -> int:
         """Run the jitted prefill for one request, write its cache row into
         ``slot``; returns the first generated token."""
+        return self._prefill_batch([slot], [req])[0]
+
+    def _prefill_batch(self, slots: List[int], reqs: List[Request]
+                       ) -> List[int]:
+        """Admit a WAVE of requests with one batched prefill call: prompts
+        are right-padded to the wave's max length (the per-slot position
+        masks out padding rows), cache rows written per slot. One device
+        round-trip per wave instead of one per request — through a
+        high-latency link (axon relay: ~200 ms/fetch) per-request
+        admission would dominate the whole engine."""
         llm = self.llm
-        tokens = jnp.asarray([req.prompt], jnp.int32)
-        one_caches = llm.new_caches(1)
-        logits, one_caches = llm._prefill(llm.qw, llm.cfg, tokens,
-                                          one_caches, 0)
+        maxlen = max(len(r.prompt) for r in reqs)
+        toks = np.zeros((len(reqs), maxlen), np.int32)
+        for i, r in enumerate(reqs):
+            toks[i, :len(r.prompt)] = r.prompt
+        k_caches = llm.new_caches(len(reqs))
+        lengths = jnp.asarray([len(r.prompt) for r in reqs], jnp.int32)
+        logits, k_caches = llm._prefill(llm.qw, llm.cfg,
+                                        jnp.asarray(toks), k_caches, 0,
+                                        prompt_lengths=lengths)
+        # first generated token comes from each prompt's LAST real row
+        last = jnp.asarray([len(r.prompt) - 1 for r in reqs], jnp.int32)
+        first = np.asarray(jnp.argmax(
+            logits[jnp.arange(len(reqs)), last], axis=-1), np.int32)
+        rows = jnp.asarray(slots, jnp.int32)
         self.caches = [
-            jtu.tree_map(lambda full, one: full.at[slot].set(one[0]), c, oc)
-            for c, oc in zip(self.caches, one_caches)]
-        return int(jnp.argmax(logits[0, -1]))
+            jtu.tree_map(lambda full, kc: full.at[rows].set(kc), c, kc)
+            for c, kc in zip(self.caches, k_caches)]
+        return [int(t) for t in first]
+
+    def _decode_tokens(self):
+        """One device round-trip: K = step_chunk decode steps in one jit.
+        Returns (K, num_slots) generated tokens in chronological order."""
+        tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
+        idx = jnp.asarray(self.positions, jnp.int32)
+        if self.step_chunk == 1:
+            logits, self.caches = self.llm._decode(
+                self.llm.qw, self.llm.cfg, tokens, self.caches, idx)
+            return np.asarray(jnp.argmax(logits[:, -1], axis=-1),
+                              np.int32)[None, :]
+        if self._chunk_fn is None:
+            llm = self.llm
+            from functools import partial
+
+            def run(qw, tok, caches, pos):
+                def body(carry, _):
+                    tok, caches, pos = carry
+                    logits, caches = quantized_forward(
+                        qw, llm.cfg, tok, caches, pos, prefill=False,
+                        mode=llm.mode)
+                    nxt = jnp.argmax(logits[:, -1], -1)[:, None] \
+                        .astype(jnp.int32)
+                    return (nxt, caches, pos + 1), nxt[:, 0]
+                (_, caches, _), toks = jax.lax.scan(
+                    body, (tok, caches, pos), None, length=self.step_chunk)
+                return toks, caches
+            self._chunk_fn = jax.jit(run)
+        toks, self.caches = self._chunk_fn(self.llm.qw, tokens,
+                                           self.caches, idx)
+        return np.asarray(toks, np.int32)          # (K, num_slots)
+
+    def _consume(self, toks, active, positions_np, record):
+        """Apply a chunk of generated tokens in chronological order;
+        ``record(slot, tok) -> finished`` owns the termination rule."""
+        alive = set(active)
+        for krow in toks:
+            if not alive:
+                break
+            for slot in list(alive):
+                req = self.slot_req[slot]
+                t = int(krow[slot])
+                req.generated.append(t)
+                positions_np[slot] += 1
+                self.next_token[slot] = t
+                if record(slot, t):
+                    alive.discard(slot)
 
     # -- engine step ---------------------------------------------------------
     def step(self):
-        """Admit pending requests into free slots, then decode one token for
-        every active slot."""
+        """Admit pending requests into free slots, then decode
+        ``step_chunk`` tokens for every active slot in one device
+        round-trip."""
         if self._sched is not None:
             return self._step_native()
+        wave = []
         for slot in self._free_slots():
             if not self.pending:
                 break
-            self._prefill_into_slot(slot, self.pending.pop(0))
+            wave.append((slot, self.pending.pop(0)))
+        if wave:
+            firsts = self._prefill_batch([s for s, _ in wave],
+                                         [r for _, r in wave])
+            for (slot, req), tok in zip(wave, firsts):
+                req.generated.append(tok)
+                self.slot_req[slot] = req
+                self.positions[slot] = len(req.prompt)
+                self.next_token[slot] = tok
+                self._maybe_finish(slot)
 
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return False
 
-        tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
-        idx = jnp.asarray(self.positions, jnp.int32)
-        logits, self.caches = self.llm._decode(
-            self.llm.qw, self.llm.cfg, tokens, self.caches, idx)
-        new_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1), np.int32)
-        for slot in active:
-            req = self.slot_req[slot]
-            req.generated.append(int(new_tok[slot]))
-            self.positions[slot] += 1
-            self.next_token[slot] = new_tok[slot]
+        toks = self._decode_tokens()
+
+        def record(slot, t):
             self._maybe_finish(slot)
+            return self.slot_req[slot] is None
+        self._consume(toks, active, self.positions, record)
         return True
 
     def _step_native(self):
         sched = self._sched
         # admit at most the number of slots free at step start, matching the
         # Python reference (slots freed mid-admission wait one step)
+        wave = []
         for _ in range(self.num_slots - sched.num_active):
             slot, uid = sched.admit()
             if slot < 0:
                 break
-            req = self._by_uid[uid]
-            tok = self._prefill_llm(req, slot)
-            req.generated.append(tok)
-            self.slot_req[slot] = req        # token routing only; lifecycle
-            if sched.start(slot, tok):       # is owned by the C++ scheduler
-                self._finish_native(slot, req)
+            wave.append((slot, self._by_uid[uid]))
+        if wave:
+            firsts = self._prefill_batch([s for s, _ in wave],
+                                         [r for _, r in wave])
+            for (slot, req), tok in zip(wave, firsts):
+                req.generated.append(tok)
+                self.slot_req[slot] = req    # token routing only; lifecycle
+                if sched.start(slot, tok):   # is owned by the C++ scheduler
+                    self._finish_native(slot, req)
 
         active = sched.active_slots()
         if not active:
             return False
-        toks, pos = sched.decode_state()
-        logits, self.caches = self.llm._decode(
-            self.llm.qw, self.llm.cfg,
-            jnp.asarray(toks[:, None], jnp.int32), self.caches,
-            jnp.asarray(pos, jnp.int32))
-        new_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1), np.int32)
-        for slot in active:
-            req = self.slot_req[slot]
-            t = int(new_tok[slot])
-            req.generated.append(t)
+        toks0, pos = sched.decode_state()
+        self.next_token[:] = toks0
+        self.positions[:] = pos
+        toks = self._decode_tokens()
+
+        def record(slot, t):
             if sched.record(slot, t):
-                self._finish_native(slot, req)
+                self._finish_native(slot, self.slot_req[slot])
+                return True
+            return False
+        self._consume(toks, active, self.positions, record)
         return True
 
     def _finish_native(self, slot: int, req: Request):

@@ -212,7 +212,7 @@ def _proj(x, wq_scale, mode, allow_pallas=True):
 
 def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
                cache_index, mode, prefill: bool, allow_pallas=True,
-               project_out: bool = True):
+               project_out: bool = True, prompt_lengths=None):
     """``project_out=False`` returns the raw (B, T, H*D) attention mix
     BEFORE the W_o projection — the fused decode layer kernel
     (ops/fused_layer.fused_wo_mlp) folds W_o + residual + norm + MLP into
@@ -220,13 +220,13 @@ def _attention(cfg, layer, x, cos, sin, mask, cache: Optional[QuantizedKVCache],
     qkv = _proj(x, layer["wqkv"], mode, allow_pallas)
     return _attention_from_qkv(cfg, layer, qkv, cos, sin, mask, cache,
                                cache_index, mode, prefill, allow_pallas,
-                               project_out)
+                               project_out, prompt_lengths)
 
 
 def _attention_from_qkv(cfg, layer, qkv, cos, sin, mask,
                         cache: Optional[QuantizedKVCache], cache_index,
                         mode, prefill: bool, allow_pallas=True,
-                        project_out: bool = True):
+                        project_out: bool = True, prompt_lengths=None):
     """Attention from a precomputed QKV projection (B, T, (H+2KH)*D) —
     the fused decode path computes qkv inside the previous layer's
     megakernel (phase D) and enters here."""
@@ -241,7 +241,7 @@ def _attention_from_qkv(cfg, layer, qkv, cos, sin, mask,
     rep = H // KH
     if cache is not None:
         if prefill:
-            cache = prefill_kv(cache, k, v, 0)
+            cache = prefill_kv(cache, k, v, 0, lengths=prompt_lengths)
         else:
             cache = append_kv(cache, k, v, cache_index)
         # GQA attention directly on the INT8 cache: per-(batch, kv-head)
@@ -320,7 +320,7 @@ def _fused_decode_blocks(cfg, m: int, mode: str):
 def quantized_forward(qw, cfg: TransformerConfig, tokens,
                       caches: Optional[List[QuantizedKVCache]] = None,
                       cache_index=0, prefill: bool = True, mode: str = "w8",
-                      allow_pallas: bool = True):
+                      allow_pallas: bool = True, prompt_lengths=None):
     """Returns (logits, new_caches).
 
     ``allow_pallas=False`` forces the XLA paths — required when running
@@ -399,7 +399,7 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
             h, cache = _attention(
                 cfg, layer, _rms_norm(x, layer["attn_norm"], cfg.norm_eps),
                 cos, sin, mask, cache, cache_index, mode, prefill,
-                allow_pallas)
+                allow_pallas, prompt_lengths=prompt_lengths)
             x = x + h
             x = x + _mlp(cfg, layer,
                          _rms_norm(x, layer["mlp_norm"], cfg.norm_eps),
@@ -418,17 +418,25 @@ class QuantizedLLM:
     """User-facing serving model: prefill + greedy decode with INT8 KV."""
 
     def __init__(self, variables, cfg: TransformerConfig, mode: str = "w8",
-                 max_len: int = 256):
+                 max_len: int = 256, _qw=None):
         self.cfg = cfg
         self.mode = mode
         self.max_len = max_len
-        self.qw = quantize_transformer_weights(variables, cfg, mode)
+        self.qw = (_qw if _qw is not None
+                   else quantize_transformer_weights(variables, cfg, mode))
         self._prefill = jax.jit(partial(quantized_forward, prefill=True,
                                         mode=mode),
                                 static_argnames=("cfg",))
         self._decode = jax.jit(partial(quantized_forward, prefill=False,
                                        mode=mode),
                                static_argnames=("cfg",))
+
+    @classmethod
+    def from_quantized(cls, qw, cfg: TransformerConfig, mode: str = "w8",
+                       max_len: int = 256) -> "QuantizedLLM":
+        """Build directly from an integer weight tree (the 8B-scale path:
+        float weights cannot exist on the chip at all — 16.1 GB > HBM)."""
+        return cls(None, cfg, mode, max_len, _qw=qw)
 
     def new_caches(self, batch: int) -> List[QuantizedKVCache]:
         return [init_quantized_kv_cache(batch, self.max_len,

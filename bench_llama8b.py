@@ -128,6 +128,64 @@ def run(batch=BATCH, mode=MODE, reps=4, quiet=False):
     return out
 
 
+def prefill_mfu(batch=8, seq=512, reps=3, quiet=False):
+    """Whole-model steady-state prefill throughput (VERDICT r4 next #4):
+    batch*seq >= 4k tokens, compute-bound, on the int8-MXU w4a8 path.
+    Slope method: a python chain of prefills (caches threaded through for
+    ordering) dispatches asynchronously; only the final fetch syncs, so
+    t(n1)-t(n0) is pure device time. Reports TFLOP/s over the model's
+    matmul FLOPs and the fraction of the v5e int8 MXU peak."""
+    INT8_PEAK_TFLOPS = 394.0
+    cfg = TransformerConfig.llama3_8b()
+    qw = random_quantized_weights(cfg, MODE)
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (batch, seq)),
+                         jnp.int32)
+    caches = [init_quantized_kv_cache(batch, seq + 8, cfg.n_kv_heads,
+                                      cfg.head_dim)
+              for _ in range(cfg.n_layers)]
+    prefill = jax.jit(partial(quantized_forward, prefill=True, mode=MODE),
+                      static_argnames=("cfg",))
+
+    def chain(n):
+        cs = caches
+        logits = None
+        for _ in range(n):
+            logits, cs = prefill(qw, cfg, tokens, cs, 0)
+        return logits
+
+    np.asarray(chain(1)[0:1, 0:1, 0:1])          # compile + warm
+    times = {}
+    for n in (1, 4):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(chain(n)[0:1, 0:1, 0:1])
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    t = max((times[4] - times[1]) / 3, 1e-9)
+
+    D, H, KH, hd, F = (cfg.d_model, cfg.n_heads, cfg.n_kv_heads,
+                       cfg.head_dim, cfg.d_ff)
+    per_tok = 2 * cfg.n_layers * (D * (H + 2 * KH) * hd + H * hd * D
+                                  + 3 * D * F)
+    per_tok += 2 * D * cfg.vocab_size                 # lm_head
+    # attention score+context FLOPs (quadratic term, avg seq/2)
+    per_tok += 2 * cfg.n_layers * 2 * H * hd * (seq / 2)
+    flops = per_tok * batch * seq
+    tflops = flops / t / 1e12
+    out = {"prefill_tflops": round(tflops, 1),
+           "prefill_frac_int8_peak": round(tflops / INT8_PEAK_TFLOPS, 3),
+           "prefill_tokens": batch * seq,
+           "prefill_s": round(t, 3)}
+    if not quiet:
+        print(f"# llama8b prefill: {batch}x{seq} tokens in {t*1e3:.0f} ms "
+              f"= {tflops:.0f} TFLOP/s "
+              f"({100*out['prefill_frac_int8_peak']:.0f}% of int8 peak)",
+              file=sys.stderr)
+    return out
+
+
 def main():
     out = run()
     print(json.dumps({

@@ -106,6 +106,30 @@ class TestContinuousBatching:
         assert all(len(r.generated) == 5 for r in reqs)
         assert steps < 200
 
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_chunked_decode_matches_per_step(self, tiny_model, rng,
+                                             use_native):
+        """Multi-step scheduling (step_chunk > 1): identical generated
+        tokens to per-step decode, slots still recycled across requests."""
+        cfg, model, variables = tiny_model
+        llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
+        prompts = [list(rng.randint(0, 64, int(n))) for n in (4, 6, 3, 5)]
+        lens = (5, 3, 7, 4)
+
+        def run(chunk):
+            b = ContinuousBatcher(llm, num_slots=2, use_native=use_native,
+                                  step_chunk=chunk)
+            reqs = [b.submit(p, max_new_tokens=n)
+                    for p, n in zip(prompts, lens)]
+            b.run_until_done(max_steps=200)
+            return reqs
+
+        base = run(1)
+        chunked = run(4)
+        assert all(r.done for r in chunked)
+        for rb, rc in zip(base, chunked):
+            assert rb.generated == rc.generated, (rb.generated, rc.generated)
+
     def test_batcher_matches_unbatched_generation(self, tiny_model, rng):
         cfg, model, variables = tiny_model
         llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
