@@ -29,6 +29,16 @@ M, K, N = 1024, 4096, 4096
 N0, N1 = 16, 264
 REPS = 6
 
+# Session-health pin (VERDICT r4 weak #3): the chip's effective clock
+# drifts ~10% across sessions and occasionally throttles to ~1/30
+# (CLAUDE.md), so absolute kernel numbers are hostage to session state.
+# A fixed bf16 XLA matmul (no code of ours) is timed at bench start and
+# end; its best observed rate across rounds defines frac=1.0. All
+# headline metrics are reported raw AND clock-normalized (raw/frac), and
+# the cross-round regression guard runs on the normalized values.
+PIN_BEST_TFLOPS = 202.2        # best observed (r5 session at full clock)
+THROTTLE_FRAC = 0.92           # below this: known throttle mode -> retry
+
 
 def slope_time(make_chain):
     """make_chain(n) -> jitted fn(x) running the op n times chained."""
@@ -120,6 +130,32 @@ def parity_check():
     print("# on-chip kernel parity: OK", file=sys.stderr)
 
 
+def measure_session_clock(retries: int = 1):
+    """TFLOP/s of the pinned bf16 matmul -> (pin_tflops, clock_frac).
+    Retries once after a pause when the chip looks throttled."""
+    w_pin = (jnp.ones((K, N), jnp.bfloat16) * 0.001)
+
+    def pin_chain(n):
+        def body(i, acc):
+            return jnp.dot(acc, w_pin, preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)[:, :K]
+        return jax.jit(lambda x: jax.lax.fori_loop(0, n, body, x))
+
+    best = 0.0
+    for attempt in range(retries + 1):
+        t = slope_time(pin_chain)
+        tf = 2.0 * M * K * N / t / 1e12
+        best = max(best, tf)
+        if best / PIN_BEST_TFLOPS >= THROTTLE_FRAC:
+            break
+        if attempt < retries:
+            print(f"# session clock LOW ({best:.1f} TF/s = "
+                  f"{best/PIN_BEST_TFLOPS:.3f}) - retrying pin once",
+                  file=sys.stderr)
+            time.sleep(20)
+    return best, best / PIN_BEST_TFLOPS
+
+
 def _load_previous_round():
     """Most recent driver-recorded BENCH_r*.json (they are committed
     in-repo), parsed, for the cross-round regression guard (VERDICT r3
@@ -156,26 +192,35 @@ def _flatten_metrics(d, prefix=""):
     return out
 
 
-def regression_guard(current: dict, drop_tol: float = 0.08):
+def regression_guard(current: dict, drop_tol: float = 0.05):
     """Warn-hard (nonzero-prefixed stderr lines) when any kernel metric
-    fell more than ``drop_tol`` vs the previous round's driver record.
-    Ratio metrics (vs_*, *_frac) and latencies are excluded; the chip
-    drifts several percent run-to-run and occasionally throttles (see
-    CLAUDE.md), so the caller runs a known-kernel sanity check first."""
+    fell more than ``drop_tol`` vs the previous round's driver record,
+    comparing CLOCK-NORMALIZED values (each side divided by its recorded
+    session clock_frac; rounds before r5 carry none and count as 1.0).
+    Normalization is what lets the tolerance sit at 5% instead of the 8%
+    that raw cross-session drift forced (VERDICT r4 weak #3). Ratio
+    metrics (vs_*, *_frac) and latencies are excluded."""
     prev_round, prev = _load_previous_round()
     if not prev:
         return
+    prev_frac = float((prev.get("session") or {}).get("clock_frac") or 1.0)
+    cur_frac = float((current.get("session") or {}).get("clock_frac") or 1.0)
     prev_flat = _flatten_metrics(prev)
     cur_flat = _flatten_metrics(current)
     for key, cur_v in cur_flat.items():
         if key.endswith(("_us", "_ms", "step_ms")) or "_vs_" in key \
-                or key.startswith("vs_") or "frac" in key:
+                or key.startswith(("vs_", "session.", "normalized.")) \
+                or "frac" in key:
             continue
         prev_v = prev_flat.get(key)
-        if prev_v and prev_v > 0 and cur_v < (1 - drop_tol) * prev_v:
-            print(f"!! REGRESSION vs BENCH_r{prev_round:02d}: {key} "
-                  f"{prev_v:.1f} -> {cur_v:.1f} "
-                  f"({100 * (cur_v / prev_v - 1):.1f}%)", file=sys.stderr)
+        if not (prev_v and prev_v > 0):
+            continue
+        cur_n = cur_v / max(cur_frac, 1e-9)
+        prev_n = prev_v / max(prev_frac, 1e-9)
+        if cur_n < (1 - drop_tol) * prev_n:
+            print(f"!! REGRESSION vs BENCH_r{prev_round:02d} (normalized): "
+                  f"{key} {prev_n:.1f} -> {cur_n:.1f} "
+                  f"({100 * (cur_n / prev_n - 1):.1f}%)", file=sys.stderr)
 
 
 def main():
@@ -191,6 +236,9 @@ def main():
     )
 
     parity_check()
+    pin_start, frac_start = measure_session_clock()
+    print(f"# session clock: pin {pin_start:.1f} TF/s = {frac_start:.3f} "
+          f"of best-known {PIN_BEST_TFLOPS}", file=sys.stderr)
 
     rng = np.random.RandomState(0)
     w = jnp.asarray((rng.randn(K, N) * 0.05).astype(np.float32))
@@ -357,8 +405,34 @@ def main():
                "weight_gb": round(l8b["weight_gb"], 2),
                "batch": l8b["batch"],
                "tok_s_b32": round(l8b32["tok_s"], 1),
+               "roofline_frac_b32": round(l8b32["roofline_frac"], 3),
                "bf16_possible": False}
+    # whole-model prefill MFU (compute-bound half of the serving cost,
+    # VERDICT r4 next #4) + continuous-batching throughput (next #7)
+    llama8b.update(bench_llama8b.prefill_mfu(quiet=False))
+    llama8b.update(bench_llama8b.continuous_batching(quiet=False))
 
+    # re-pin at the end: drift DURING the run is real (a 1.010 start fell
+    # to 0.908 within 10 min in the r5 session); the session's best
+    # observed pin is the honest denominator for normalization
+    pin_end, frac_end = measure_session_clock(retries=0)
+    frac = max(frac_start, frac_end)
+    session = {"pin_tflops_start": round(pin_start, 1),
+               "pin_tflops_end": round(pin_end, 1),
+               "clock_frac": round(frac, 3),
+               "pin_best_ref": PIN_BEST_TFLOPS}
+    print(f"# session clock: start {frac_start:.3f} / end {frac_end:.3f} "
+          f"-> normalizing by {frac:.3f}", file=sys.stderr)
+    norm = lambda v: round(v / max(frac, 1e-9), 1)
+    normalized = {
+        "bf16_xla_tflops": norm(results["bf16_xla"]),
+        "w8a8_tflops": norm(results["w8a8"]),
+        "w4a8_tflops": norm(results["w4a8"]),
+        "w8_dec_gbps": norm(decode["w8_gbps"]),
+        "w4_dec_gbps": norm(decode["w4_gbps"]),
+        "llama8b_gbps": norm(llama8b["gbps"]),
+        "llama8b_tok_s": norm(llama8b["tok_s"]),
+    }
     payload = {
         "metric": "fused_dequant_matmul_w8a8_tflops",
         "value": round(results["w8a8"], 2),
@@ -369,6 +443,8 @@ def main():
         "decode_m16": decode,
         "serving_decode": serving,
         "llama8b_w4a8": llama8b,
+        "session": session,
+        "normalized": normalized,
     }
     regression_guard(payload)
     print(json.dumps(payload))

@@ -186,6 +186,50 @@ def prefill_mfu(batch=8, seq=512, reps=3, quiet=False):
     return out
 
 
+def continuous_batching(num_slots=16, step_chunk=16, n_requests=48,
+                        prompt_len=32, quiet=False):
+    """8B continuous-batching throughput (VERDICT r4 next #7): the
+    ContinuousBatcher + C++ scheduler over the 8B quantized weights with
+    mixed output lengths. Reports generated tokens/s wall-clock and mean
+    slot utilization (active-slot-steps / total-slot-steps)."""
+    from aimet_tpu.serving.batcher import ContinuousBatcher
+    from aimet_tpu.serving.quantized_llm import QuantizedLLM
+
+    cfg = TransformerConfig.llama3_8b()
+    qw = random_quantized_weights(cfg, MODE)
+    llm = QuantizedLLM.from_quantized(qw, cfg, MODE,
+                                      max_len=prompt_len + 160)
+    b = ContinuousBatcher(llm, num_slots=num_slots, step_chunk=step_chunk)
+    rng = np.random.RandomState(0)
+    reqs = []
+    lens = rng.randint(32, 129, n_requests)
+    for i in range(n_requests):
+        reqs.append(b.submit(list(rng.randint(0, cfg.vocab_size,
+                                              prompt_len)),
+                             max_new_tokens=int(lens[i])))
+    # warm the compiles (prefill wave + chunk) outside the timed region:
+    # one engine step admits the first wave and decodes one chunk
+    b.step()
+    t0 = time.perf_counter()
+    steps = b.run_until_done(max_steps=4000)
+    dt = time.perf_counter() - t0
+    assert all(r.done for r in reqs), "continuous batching did not drain"
+    total_after_warm = sum(len(r.generated) for r in reqs)
+    warm_tokens = num_slots * (1 + step_chunk)   # first wave's share
+    toks = total_after_warm - warm_tokens
+    tok_s = toks / dt
+    slot_steps = steps * step_chunk * num_slots
+    util = toks / max(slot_steps, 1)
+    out = {"cb_tok_s": round(tok_s, 1), "cb_slot_util": round(util, 3),
+           "cb_requests": n_requests, "cb_slots": num_slots,
+           "cb_chunk": step_chunk}
+    if not quiet:
+        print(f"# llama8b continuous batching: {tok_s:.0f} tok/s "
+              f"({n_requests} reqs, {num_slots} slots, chunk {step_chunk}, "
+              f"util {util:.2f})", file=sys.stderr)
+    return out
+
+
 def main():
     out = run()
     print(json.dumps({
