@@ -68,9 +68,17 @@ def rope_freqs(cfg: TransformerConfig, positions):
 
 
 def apply_rope(x, cos, sin):
-    """x: (B, T, H, D); cos/sin (T, D/2) or per-batch (B, T, D/2)."""
-    x1 = x[..., 0::2]
-    x2 = x[..., 1::2]
+    """x: (B, T, H, D); cos/sin (T, D/2) or per-batch (B, T, D/2).
+
+    Half-split ("rotate half") convention — pairs dimension i with i+D/2,
+    matching HF/Llama checkpoints (so imported attention weights need no
+    column permutation) and the fused decode-attention kernel
+    (ops/decode_attention_fused.py), where the rotation is a single
+    static lane roll. Equivalent to the interleaved (GPT-J) convention up
+    to a fixed permutation of head dims."""
+    d2 = x.shape[-1] // 2
+    x1 = x[..., :d2]
+    x2 = x[..., d2:]
     if cos.ndim == 2:
         cos = cos[None, :, None, :]
         sin = sin[None, :, None, :]
@@ -79,7 +87,7 @@ def apply_rope(x, cos, sin):
         sin = sin[:, :, None, :]
     r1 = x1 * cos - x2 * sin
     r2 = x2 * cos + x1 * sin
-    return jnp.stack([r1, r2], axis=-1).reshape(x.shape)
+    return jnp.concatenate([r1, r2], axis=-1)
 
 
 class RMSNorm(nn.Module):

@@ -35,9 +35,15 @@ def init_quantized_kv_cache(batch: int, max_len: int, n_kv_heads: int,
 
 
 def _quant(x, scale):
-    # x (B, T, KH, D), scale (B, KH)
-    s = scale[:, None, :, None]
-    return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    # x (B, T, KH, D), scale (B, KH). Multiply by the IEEE reciprocal
+    # rather than divide: the fused decode-attention kernel quantizes
+    # in-kernel with the same precomputed reciprocal (Mosaic lowers f32
+    # division to an approximate reciprocal, which shifted round() by
+    # 1-2 int levels at bin boundaries vs XLA's exact divide) — with a
+    # shared reciprocal both paths produce bit-identical cache rows.
+    r = (1.0 / scale.astype(jnp.float32))[:, None, :, None]
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * r),
+                    -127, 127).astype(jnp.int8)
 
 
 def prefill_kv(cache: QuantizedKVCache, k: jax.Array, v: jax.Array,
@@ -56,8 +62,13 @@ def prefill_kv(cache: QuantizedKVCache, k: jax.Array, v: jax.Array,
                  < jnp.asarray(lengths)[:, None])[:, :, None, None]
         ka = jnp.where(valid, ka, 0.0)
         va = jnp.where(valid, va, 0.0)
-    k_scale = jnp.maximum(jnp.max(ka, axis=(1, 3)), eps) / 127.0
-    v_scale = jnp.maximum(jnp.max(va, axis=(1, 3)), eps) / 127.0
+    # scales are f32 by contract (bf16 k/v would otherwise leak bf16
+    # scales into the cache — the fused attention kernel requires f32,
+    # and reciprocal precision matters for the quantize grid)
+    k_scale = jnp.maximum(jnp.max(ka, axis=(1, 3)).astype(jnp.float32),
+                          eps) / 127.0
+    v_scale = jnp.maximum(jnp.max(va, axis=(1, 3)).astype(jnp.float32),
+                          eps) / 127.0
     kq = _quant(k, k_scale)
     vq = _quant(v, v_scale)
     new_k = jax.lax.dynamic_update_slice(cache.k, kq, (0, start, 0, 0))
@@ -84,6 +95,23 @@ def append_kv(cache: QuantizedKVCache, k: jax.Array, v: jax.Array,
         new_k = cache.k.at[b[:, None], idx].set(kq)
         new_v = cache.v.at[b[:, None], idx].set(vq)
     return QuantizedKVCache(new_k, new_v, cache.k_scale, cache.v_scale)
+
+
+def flatten_kv_caches(caches: List[QuantizedKVCache]
+                      ) -> List[QuantizedKVCache]:
+    """(B, S, KH, D) -> (B, S, KH*D) views for the decode loop carry.
+
+    The fused decode-attention kernel's cache operands are (B, S, KH*D)
+    (ops/decode_attention_fused.py) and alias input->output; when the
+    scan carry holds the SAME layout the append happens in place, but a
+    4D carry forced a bitcast reshape between carry and kernel operand,
+    which made XLA copy both caches every layer (probed: ~20 us/layer
+    at Llama-8B batch 16). Call this once after prefill, before the
+    decode loop."""
+    return [QuantizedKVCache(
+        c.k.reshape(c.k.shape[0], c.k.shape[1], -1),
+        c.v.reshape(c.v.shape[0], c.v.shape[1], -1),
+        c.k_scale, c.v_scale) for c in caches]
 
 
 def dequantize_kv(cache: QuantizedKVCache, dtype=jnp.float32

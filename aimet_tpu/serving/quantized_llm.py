@@ -232,6 +232,13 @@ def _attention_from_qkv(cfg, layer, qkv, cos, sin, mask,
     megakernel (phase D) and enters here."""
     B, T, _ = qkv.shape
     H, KH, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    flat_cache = cache is not None and cache.k.ndim == 3
+    if flat_cache:
+        # (B, S, KH*D) decode-carry layout (ops/kv_cache.flatten_kv_caches)
+        S_ = cache.k.shape[1]
+        cache = QuantizedKVCache(cache.k.reshape(B, S_, KH, D),
+                                 cache.v.reshape(B, S_, KH, D),
+                                 cache.k_scale, cache.v_scale)
     q = qkv[..., :H * D].reshape(B, T, H, D)
     k = qkv[..., H * D:(H + KH) * D].reshape(B, T, KH, D)
     v = qkv[..., (H + KH) * D:].reshape(B, T, KH, D)
@@ -263,6 +270,10 @@ def _attention_from_qkv(cfg, layer, qkv, cos, sin, mask,
                          cache.v.astype(qkv.dtype))
         out = out * cache.v_scale[:, None, :, None, None].astype(out.dtype)
         out = out.reshape(B, T, H * D)
+        if flat_cache:   # keep the carry layout stable for lax.scan
+            cache = QuantizedKVCache(cache.k.reshape(B, S_, KH * D),
+                                     cache.v.reshape(B, S_, KH * D),
+                                     cache.k_scale, cache.v_scale)
         if not project_out:
             return out, cache
         return _proj(out, layer["wo"], mode, allow_pallas), cache
@@ -361,21 +372,39 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
         fused = _fused_decode_blocks(cfg, B * T, mode)
     new_caches = []
     if fused is not None:
-        # ONE pallas call per layer: layer i's megakernel computes
+        # TWO pallas calls per layer: the fused attention kernel (rope +
+        # INT8-KV quantize + GQA scores/softmax/context, ops/
+        # decode_attention_fused.py) and the megakernel computing
         # wo+residual+norm+mlp AND layer i+1's attn-norm+qkv (phase D);
-        # only layer 0's qkv needs a standalone projection. Between
-        # kernels: rope + INT8-KV append + attention einsums (XLA).
+        # only layer 0's qkv needs a standalone projection. The only XLA
+        # ops left per layer are the two KV-cache row writes.
+        from ..ops.decode_attention_fused import (WINDOW,
+                                                  fused_decode_attention)
         from ..ops.fused_layer import fused_wo_mlp
         ba, bg, bd = fused
         F = cfg.d_ff
+        H, KH, HD = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+        S = caches[0].k.shape[1]
+        idx = jnp.asarray(cache_index)
+        attn_kernel_ok = (
+            T == 1 and idx.ndim == 0 and HD % 128 == 0 and S % WINDOW == 0
+            and (B * (H // KH)) % 8 == 0 and cos.shape == (1, HD // 2))
         layers = qw["layers"]
         xn0 = _rms_norm(x, layers[0]["attn_norm"], cfg.norm_eps)
         qkv = _proj(xn0, layers[0]["wqkv"], mode, allow_pallas)
         for i in range(cfg.n_layers):
             layer = layers[i]
-            raw, cache = _attention_from_qkv(
-                cfg, layer, qkv, cos, sin, mask, caches[i], cache_index,
-                mode, prefill, allow_pallas, project_out=False)
+            if attn_kernel_ok:
+                c = caches[i]
+                raw, k_new, v_new = fused_decode_attention(
+                    qkv.reshape(B, -1), cos, sin, c.k, c.v, c.k_scale,
+                    c.v_scale, idx, n_heads=H, n_kv_heads=KH)
+                raw = raw.reshape(B, T, -1)
+                cache = QuantizedKVCache(k_new, v_new, c.k_scale, c.v_scale)
+            else:
+                raw, cache = _attention_from_qkv(
+                    cfg, layer, qkv, cos, sin, mask, caches[i], cache_index,
+                    mode, prefill, allow_pallas, project_out=False)
             wgu_p, s_gu = layer["w_gateup"]
             last = i == cfg.n_layers - 1
             nxt = None if last else (layers[i + 1]["wqkv"],

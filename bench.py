@@ -36,7 +36,7 @@ REPS = 6
 # end; its best observed rate across rounds defines frac=1.0. All
 # headline metrics are reported raw AND clock-normalized (raw/frac), and
 # the cross-round regression guard runs on the normalized values.
-PIN_BEST_TFLOPS = 202.2        # best observed (r5 session at full clock)
+PIN_BEST_TFLOPS = 219.8        # best observed (r5 session at full clock)
 THROTTLE_FRAC = 0.92           # below this: known throttle mode -> retry
 
 

@@ -49,7 +49,8 @@ BATCH = 16
 PREFILL = 32
 STEPS0, STEPS1 = 4, 52         # ~5 ms/step floor -> 48 extra steps ~ 240 ms
                                # (>= 200 ms of slope signal, ADVICE r4 #5)
-MAX_LEN = PREFILL + STEPS1 + 8
+MAX_LEN = PREFILL + STEPS1 + 12          # multiple of 8: the fused
+                                         # attention kernel needs S % 8 == 0
 MODE = "w4a8"
 
 
@@ -76,6 +77,10 @@ def run(batch=BATCH, mode=MODE, reps=4, quiet=False):
     tok0 = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
     np.asarray(tok0[0:1])
     t_prefill = time.perf_counter() - t0
+    # flat (B, S, KH*D) carry: in-place aliased KV append in the fused
+    # attention kernel (ops/kv_cache.flatten_kv_caches docstring)
+    from aimet_tpu.ops.kv_cache import flatten_kv_caches
+    caches = flatten_kv_caches(caches)
 
     def make_loop(steps):
         def decode_loop(qw, tok0, caches, start):

@@ -1,0 +1,95 @@
+"""End-to-end on-chip parity + step time for the fully-fused decode path
+(fused attention kernel + megakernel) vs allow_pallas=False, at Llama-8B
+layer shapes with n_layers=2 (fast compile)."""
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from aimet_tpu.models.transformer import TransformerConfig
+from aimet_tpu.ops.kv_cache import init_quantized_kv_cache
+from aimet_tpu.serving.quantized_llm import (quantized_forward,
+                                             random_quantized_weights)
+
+B, PREFILL, S = 16, 32, 96
+MODE = "w4a8"
+
+
+def main():
+    cfg = dataclasses.replace(TransformerConfig.llama3_8b(), n_layers=2)
+    qw = random_quantized_weights(cfg, MODE)
+    caches = [init_quantized_kv_cache(B, S, cfg.n_kv_heads, cfg.head_dim)
+              for _ in range(cfg.n_layers)]
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, PREFILL)),
+                         jnp.int32)
+    prefill = jax.jit(partial(quantized_forward, prefill=True, mode=MODE),
+                      static_argnames=("cfg",))
+    logits, caches = prefill(qw, cfg, tokens, caches, 0)
+    tok0 = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+
+    step = jax.jit(partial(quantized_forward, prefill=False, mode=MODE),
+                   static_argnames=("cfg", "allow_pallas"))
+    lg_f, c_f = step(qw, cfg, tok0, caches, jnp.int32(PREFILL))
+    lg_x, c_x = step(qw, cfg, tok0, caches, jnp.int32(PREFILL),
+                     allow_pallas=False)
+    a, b = np.asarray(lg_f, np.float32), np.asarray(lg_x, np.float32)
+    rel = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-9)
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    dk = np.abs(np.asarray(c_f[0].k, np.int32)
+                - np.asarray(c_x[0].k, np.int32)).max()
+    dv = np.abs(np.asarray(c_f[0].v, np.int32)
+                - np.asarray(c_x[0].v, np.int32)).max()
+    print(f"logits rel {rel:.4f}, argmax agree {agree:.3f}, "
+          f"cache |dk|={dk} |dv|={dv}")
+    # |dk|,|dv| <= 3: the two paths compute the QKV PROJECTION itself
+    # with different kernels (pallas w4 decode vs XLA dequant, ~0.7%
+    # rel), so the appended row may sit 1-2 int levels off; the
+    # attention kernel itself is bit-exact on shared inputs
+    # (tests/test_decode_attention_fused.py, scripts/probe_r5_attn_kernel)
+    assert rel < 0.03 and agree > 0.95 and dk <= 3 and dv <= 3
+
+    # multi-step decode loop time (slope)
+    def make_loop(steps):
+        def loop(qw, tok0, caches, start):
+            def body(carry, _):
+                tok, caches, pos = carry
+                logits, caches = quantized_forward(
+                    qw, cfg, tok, caches, pos, prefill=False, mode=MODE)
+                nxt = jnp.argmax(logits[:, -1], -1)[:, None
+                                                    ].astype(jnp.int32)
+                return (nxt, caches, pos + 1), nxt
+            (_, caches, _), toks = jax.lax.scan(
+                body, (tok0, caches, start), None, length=steps)
+            return toks
+        return jax.jit(loop)
+
+    times = {}
+    for steps in (8, 56):
+        f = make_loop(steps)
+        np.asarray(f(qw, tok0, caches, jnp.int32(PREFILL))[0])
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(f(qw, tok0, caches, jnp.int32(PREFILL))[0])
+            best = min(best, time.perf_counter() - t0)
+        times[steps] = best
+    t = (times[56] - times[8]) / 48
+    print(f"2-layer decode step: {t*1e6:.1f} us "
+          f"(per layer ~{(t*1e6 - 430):.0f}/2 us excl. ~0.43ms tail)")
+
+
+if __name__ == "__main__":
+    main()
