@@ -63,13 +63,15 @@ WINDOW = 32      # aligned cache-row window for the append writeback DMA
                  # (int8 sublane tiling; S must be a multiple of this)
 
 
-def _attn_kernel(pos_ref, qkv_ref, cos_ref, sin_ref, ks_ref, vs_ref,
-                 iks_ref, ivs_ref, colb_ref, cols_ref, rowb_ref,
-                 kc_hbm, vc_hbm,
-                 ao_ref, kc_out, vc_out,
-                 kbuf, vbuf, kwin, vwin, sems,
-                 *, b, s, kh, rep, d):
-    pos = pos_ref[0]
+def attention_body(pos, qkv_ref, cos_ref, sin_ref, ks_ref, vs_ref,
+                   iks_ref, ivs_ref, colb_ref, cols_ref, rowb_ref,
+                   kc_out, vc_out, ao_ref,
+                   kbuf, vbuf, kwin, vwin, sems,
+                   *, b, s, kh, rep, d):
+    """The whole decode-attention phase, written against refs so it can
+    run either as its own kernel (fused_decode_attention) or as phase 0
+    of the whole-layer megakernel (ops/fused_layer.fused_decode_layer).
+    ``ao_ref`` may be an output ref or a VMEM scratch."""
     dt = qkv_ref.dtype
     h = kh * rep
     cos2 = cos_ref[:]                       # (1, D) f32: [cos, cos]
@@ -172,6 +174,46 @@ def _attn_kernel(pos_ref, qkv_ref, cos_ref, sin_ref, ks_ref, vs_ref,
     vw.wait()
 
 
+def _attn_kernel(pos_ref, qkv_ref, cos_ref, sin_ref, ks_ref, vs_ref,
+                 iks_ref, ivs_ref, colb_ref, cols_ref, rowb_ref,
+                 kc_hbm, vc_hbm,
+                 ao_ref, kc_out, vc_out,
+                 kbuf, vbuf, kwin, vwin, sems,
+                 *, b, s, kh, rep, d):
+    attention_body(pos_ref[0], qkv_ref, cos_ref, sin_ref, ks_ref, vs_ref,
+                   iks_ref, ivs_ref, colb_ref, cols_ref, rowb_ref,
+                   kc_out, vc_out, ao_ref, kbuf, vbuf, kwin, vwin, sems,
+                   b=b, s=s, kh=kh, rep=rep, d=d)
+
+
+def attention_operands(cos, sin, k_scale, v_scale, b, s, rep, d):
+    """The small VMEM operands the attention phase needs, in kernel
+    order: (cos2, sin2, ks, vs, iks, ivs, colb, cols, rowb)."""
+    D = d
+    cos2 = jnp.concatenate([cos, cos], -1).reshape(1, D).astype(jnp.float32)
+    sin2 = jnp.concatenate([-sin, sin], -1).reshape(1, D).astype(jnp.float32)
+    j = np.arange(b * s, dtype=np.int32)
+    colb = jnp.asarray(j // s).reshape(1, b * s)
+    cols = jnp.asarray(j % s).reshape(1, b * s)
+    rowb = jnp.asarray(np.arange(b * rep, dtype=np.int32) // rep
+                       ).reshape(b * rep, 1)
+    ks32 = k_scale.astype(jnp.float32)
+    vs32 = v_scale.astype(jnp.float32)
+    return (cos2, sin2, ks32, vs32, 1.0 / ks32, 1.0 / vs32,
+            colb, cols, rowb)
+
+
+def attention_scratch(b, s, kh, d):
+    """Scratch allocations for attention_body, in kernel order."""
+    return [
+        pltpu.VMEM((b, s, kh * d), jnp.int8),       # K fetch buffer
+        pltpu.VMEM((b, s, kh * d), jnp.int8),       # V fetch buffer
+        pltpu.VMEM((b, WINDOW, kh * d), jnp.int8),  # K append window
+        pltpu.VMEM((b, WINDOW, kh * d), jnp.int8),  # V append window
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "n_kv_heads"))
 def fused_decode_attention(qkv, cos, sin, k_cache, v_cache, k_scale,
                            v_scale, cache_index, *, n_heads: int,
@@ -202,13 +244,7 @@ def fused_decode_attention(qkv, cos, sin, k_cache, v_cache, k_scale,
     assert qkv.shape == (B, (H + 2 * KH) * D)
     assert D % 128 == 0 and S % WINDOW == 0 and (B * rep) % 8 == 0
 
-    cos2 = jnp.concatenate([cos, cos], -1).reshape(1, D).astype(jnp.float32)
-    sin2 = jnp.concatenate([-sin, sin], -1).reshape(1, D).astype(jnp.float32)
-    j = np.arange(B * S, dtype=np.int32)
-    colb = jnp.asarray(j // S).reshape(1, B * S)
-    cols = jnp.asarray(j % S).reshape(1, B * S)
-    rowb = jnp.asarray(np.arange(B * rep, dtype=np.int32) // rep
-                       ).reshape(B * rep, 1)
+    aops = attention_operands(cos, sin, k_scale, v_scale, B, S, rep, D)
     pos = jnp.asarray(cache_index, jnp.int32).reshape(1)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -218,13 +254,7 @@ def fused_decode_attention(qkv, cos, sin, k_cache, v_cache, k_scale,
         grid=(1,),
         in_specs=[vspec] * 10 + [any_spec, any_spec],
         out_specs=[vspec, any_spec, any_spec],
-        scratch_shapes=[
-            pltpu.VMEM((B, S, KH * D), jnp.int8),       # K fetch buffer
-            pltpu.VMEM((B, S, KH * D), jnp.int8),       # V fetch buffer
-            pltpu.VMEM((B, WINDOW, KH * D), jnp.int8),  # K append window
-            pltpu.VMEM((B, WINDOW, KH * D), jnp.int8),  # V append window
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=attention_scratch(B, S, KH, D),
     )
     call = pl.pallas_call(
         functools.partial(_attn_kernel, b=B, s=S, kh=KH, rep=rep, d=D),
@@ -243,11 +273,8 @@ def fused_decode_attention(qkv, cos, sin, k_cache, v_cache, k_scale,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
-    ks32 = k_scale.astype(jnp.float32)
-    vs32 = v_scale.astype(jnp.float32)
     ao, k_new, v_new = call(
-        pos, qkv, cos2, sin2, ks32, vs32, 1.0 / ks32, 1.0 / vs32,
-        colb, cols, rowb,
+        pos, qkv, *aops,
         k_cache.reshape(B, S, KH * D), v_cache.reshape(B, S, KH * D))
     if flat:
         return ao, k_new, v_new

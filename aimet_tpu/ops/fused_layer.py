@@ -70,8 +70,8 @@ def _split_half(x, dtype):
 
 def _fused_kernel(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
                   sg_ref, wu_ref, su_ref, wd_ref, sd_ref, out_ref,
-                  y_ref, h_ref, *, ja, j1, j2, ba, bg, bd, eps):
-    j = pl.program_id(0)
+                  y_ref, h_ref, *, ja, j1, j2, ba, bg, bd, eps, j_off=0):
+    j = pl.program_id(0) - j_off
     dt = ao_ref.dtype
 
     @pl.when(j < ja)
@@ -110,18 +110,18 @@ def _fused_kernel(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
 def _fused_kernel_qkv(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
                       sg_ref, wu_ref, su_ref, wd_ref, sd_ref, agamma_ref,
                       wq_ref, sq_ref, out_ref, qkv_ref, y_ref, h_ref,
-                      *, ja, j1, j2, ba, bg, bd, eps):
+                      *, ja, j1, j2, ba, bg, bd, eps, j_off=0):
     """The wo+mlp kernel with PHASE D: the NEXT layer's attention-norm +
     QKV projection computed from the freshly built output while its
     weights stream behind the MLP phases — one pallas call per decode
     layer, zero standalone qkv kernel (VERDICT r4 #1, second cut)."""
-    j = pl.program_id(0)
+    j = pl.program_id(0) - j_off
     dt = ao_ref.dtype
 
     _fused_kernel(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
                   sg_ref, wu_ref, su_ref, wd_ref, sd_ref, out_ref,
                   y_ref, h_ref, ja=ja, j1=j1, j2=j2, ba=ba, bg=bg, bd=bd,
-                  eps=eps)
+                  eps=eps, j_off=j_off)
 
     @pl.when(j >= ja + j1 + j2)
     def _phase_d():
@@ -272,3 +272,246 @@ def fused_wo_mlp(attn_out, resid, wo_pair, gate_pair, up_pair, down_pair,
         interpret=_interpret(),
     )(*operands)
     return out[:m0], qkv[:m0]
+
+
+# ---------------------------------------------------------------------------
+# Whole-layer decode megakernel: ATTENTION + WO + residual + RMSNorm + MLP
+# (+ next layer's attn-norm + QKV) in ONE pallas_call (VERDICT r4 #1, final
+# cut). Phase 0 runs the fused decode attention (ops/decode_attention_fused.
+# attention_body: rope + INT8-KV quantize + in-place window append + GQA
+# scores/softmax/context) while the pipeline prefetches phase A's first W_o
+# block — the attention compute hides behind the weight streaming, and the
+# only per-layer XLA ops left are the scan plumbing itself.
+# ---------------------------------------------------------------------------
+
+def _fused_kernel_layer(pos_ref, qkv_ref, resid_ref, gamma_ref, wo_ref,
+                        so_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
+                        sd_ref, agamma_ref, wq_ref, sq_ref,
+                        cos_ref, sin_ref, ks_ref, vs_ref, iks_ref, ivs_ref,
+                        colb_ref, cols_ref, rowb_ref, kc_hbm, vc_hbm,
+                        out_ref, qkvn_ref, kc_out, vc_out,
+                        y_ref, h_ref, ao_ref, kbuf, vbuf, kwin, vwin, sems,
+                        *, ja, j1, j2, ba, bg, bd, eps, b, s, nkv, rep, d):
+    from .decode_attention_fused import attention_body
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _phase_attn():
+        attention_body(pos_ref[0], qkv_ref, cos_ref, sin_ref, ks_ref,
+                       vs_ref, iks_ref, ivs_ref, colb_ref, cols_ref,
+                       rowb_ref, kc_out, vc_out, ao_ref,
+                       kbuf, vbuf, kwin, vwin, sems,
+                       b=b, s=s, kh=nkv, rep=rep, d=d)
+
+    _fused_kernel_qkv(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
+                      sg_ref, wu_ref, su_ref, wd_ref, sd_ref, agamma_ref,
+                      wq_ref, sq_ref, out_ref, qkvn_ref, y_ref, h_ref,
+                      ja=ja, j1=j1, j2=j2, ba=ba, bg=bg, bd=bd, eps=eps,
+                      j_off=1)
+
+
+def _fused_kernel_layer_last(pos_ref, qkv_ref, resid_ref, gamma_ref, wo_ref,
+                             so_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
+                             sd_ref,
+                             cos_ref, sin_ref, ks_ref, vs_ref, iks_ref,
+                             ivs_ref, colb_ref, cols_ref, rowb_ref,
+                             kc_hbm, vc_hbm,
+                             out_ref, kc_out, vc_out,
+                             y_ref, h_ref, ao_ref, kbuf, vbuf, kwin, vwin,
+                             sems,
+                             *, ja, j1, j2, ba, bg, bd, eps, b, s, nkv, rep,
+                             d):
+    from .decode_attention_fused import attention_body
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _phase_attn():
+        attention_body(pos_ref[0], qkv_ref, cos_ref, sin_ref, ks_ref,
+                       vs_ref, iks_ref, ivs_ref, colb_ref, cols_ref,
+                       rowb_ref, kc_out, vc_out, ao_ref,
+                       kbuf, vbuf, kwin, vwin, sems,
+                       b=b, s=s, kh=nkv, rep=rep, d=d)
+
+    _fused_kernel(ao_ref, resid_ref, gamma_ref, wo_ref, so_ref, wg_ref,
+                  sg_ref, wu_ref, su_ref, wd_ref, sd_ref, out_ref,
+                  y_ref, h_ref, ja=ja, j1=j1, j2=j2, ba=ba, bg=bg, bd=bd,
+                  eps=eps, j_off=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "block_a", "block_g", "block_d", "block_q", "up_block_offset",
+    "n_f", "n_heads", "n_kv_heads", "has_next"))
+def fused_decode_layer(qkv, resid, k_cache, v_cache, k_scale, v_scale,
+                       cache_index, cos, sin,
+                       wo_pair, gate_pair, up_pair, down_pair, mlp_gamma,
+                       *, eps: float = 1e-5, block_a: int = 2048,
+                       block_g: int = 1024, block_d: int = 512,
+                       block_q: int = 0, up_block_offset: int = 0,
+                       n_f: int = 0, next_qkv=None, has_next: bool = None,
+                       n_heads: int, n_kv_heads: int):
+    """One ENTIRE decode layer in one pallas_call.
+
+    qkv (B, (H+2KH)*D): THIS layer's qkv projection (from the previous
+    layer's phase D, or a standalone projection for layer 0).
+    k_cache/v_cache: (B, S, KH*D) flat (preferred, in-place append — see
+    ops/kv_cache.flatten_kv_caches) or (B, S, KH, D).
+    Other operands as ops/fused_layer.fused_wo_mlp; ``next_qkv``
+    = ((wqkv_packed, wqkv_scale), next_attn_gamma) adds phase D.
+
+    Returns (out, k_cache', v_cache') or (out, next_qkv_proj, k_cache',
+    v_cache') with phase D.
+    """
+    from .decode_attention_fused import (WINDOW, attention_operands,
+                                         attention_scratch)
+    del has_next   # derived from next_qkv; kept for jit cache keying
+    H, KH = n_heads, n_kv_heads
+    flat = k_cache.ndim == 3
+    if flat:
+        B, S, KHD = k_cache.shape
+        D = KHD // KH
+    else:
+        B, S, _, D = k_cache.shape
+    rep = H // KH
+    M, A = qkv.shape[0], H * D
+    Dm = resid.shape[1]
+    assert qkv.shape == (B, (H + 2 * KH) * D) and M == B and M % 8 == 0
+    assert D % 128 == 0 and S % WINDOW == 0 and (B * rep) % 8 == 0
+
+    wo_p, so = wo_pair
+    wg_p, sg = gate_pair
+    wu_p, su = up_pair
+    wd_p, sd = down_pair
+    F = n_f or wg_p.shape[1]
+    ba = min(block_a, Dm)
+    bg = min(block_g, F)
+    bd = min(block_d, Dm)
+    assert Dm % ba == 0 and F % bg == 0 and Dm % bd == 0
+    ja, j1, j2 = Dm // ba, F // bg, Dm // bd
+    bm = M
+    dt = resid.dtype
+    gamma = jnp.reshape(mlp_gamma, (1, Dm)).astype(dt)
+    row = lambda sc, n: jnp.reshape(sc, (1, n)).astype(jnp.float32)
+
+    const = lambda j, p: (0, 0)
+    spec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                           memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    a_idx = lambda j, p: (0, jnp.clip(j - 1, 0, ja - 1))
+    g_idx = lambda j, p: (0, jnp.clip(j - 1 - ja, 0, j1 - 1))
+    u_idx = (g_idx if not up_block_offset
+             else (lambda j, p: (0, up_block_offset
+                                 + jnp.clip(j - 1 - ja, 0, j1 - 1))))
+    d_idx = lambda j, p: (0, jnp.clip(j - 1 - ja - j1, 0, j2 - 1))
+
+    in_specs = [
+        vspec,                           # qkv (attention input)
+        spec((bm, Dm), const),           # resid
+        spec((1, Dm), const),            # mlp norm gamma
+        spec((A // 2, ba), a_idx),       # wo packed
+        spec((1, ba), a_idx),
+        spec((Dm // 2, bg), g_idx),      # w_gate packed
+        spec((1, bg), g_idx),
+        spec((Dm // 2, bg), u_idx),      # w_up packed
+        spec((1, bg), g_idx),
+        spec((F // 2, bd), d_idx),       # w_down packed
+        spec((1, bd), d_idx),
+    ]
+    aops = attention_operands(cos, sin, k_scale, v_scale, B, S, rep, D)
+    attn_specs = [vspec] * len(aops) + [any_spec, any_spec]
+    operands = [qkv.astype(dt), resid, gamma, wo_p, row(so, Dm), wg_p,
+                row(sg, F), wu_p, row(su, F), wd_p, row(sd, Dm)]
+    attn_operands = list(aops) + [k_cache.reshape(B, S, KH * D),
+                                  v_cache.reshape(B, S, KH * D)]
+    scratch = [pltpu.VMEM((bm, Dm), dt),     # y
+               pltpu.VMEM((bm, F), dt),      # h
+               pltpu.VMEM((bm, A), dt)]      # ao (attention output)
+    scratch += attention_scratch(B, S, KH, D)
+    pos = jnp.asarray(cache_index, jnp.int32).reshape(1)
+    wbytes = (A * Dm + 2 * Dm * F + F * Dm) // 2
+    cbytes = 2 * B * S * KH * D
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024)
+
+    def unflatten(k_new, v_new):
+        if flat:
+            return k_new, v_new
+        return (k_new.reshape(B, S, KH, D), v_new.reshape(B, S, KH, D))
+
+    if next_qkv is None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1 + ja + j1 + j2,),
+            in_specs=in_specs + attn_specs,
+            out_specs=[spec((bm, Dm), const), any_spec, any_spec],
+            scratch_shapes=scratch,
+        )
+        out, k_new, v_new = pl.pallas_call(
+            functools.partial(_fused_kernel_layer_last, ja=ja, j1=j1,
+                              j2=j2, ba=ba, bg=bg, bd=bd, eps=eps, b=B,
+                              s=S, nkv=KH, rep=rep, d=D),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((bm, Dm), dt),
+                jax.ShapeDtypeStruct((B, S, KH * D), jnp.int8),
+                jax.ShapeDtypeStruct((B, S, KH * D), jnp.int8),
+            ],
+            # alias indices count the scalar-prefetch operand
+            input_output_aliases={len(operands) + len(attn_operands) - 1:
+                                  1,
+                                  len(operands) + len(attn_operands): 2},
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bm * (A * Dm + 2 * Dm * F + F * Dm)
+                + 4 * B * H * D * S,
+                bytes_accessed=wbytes + cbytes + 3 * bm * Dm * 2,
+                transcendentals=bm * F + B * H * S),
+            compiler_params=cparams,
+            interpret=_interpret(),
+        )(pos, *operands, *attn_operands)
+        return (out, *unflatten(k_new, v_new))
+
+    (wq_p, sq), attn_gamma = next_qkv
+    Nq = wq_p.shape[1]
+    bq = block_q or min(2048, Nq)
+    assert Nq % bq == 0
+    jq = Nq // bq
+    q_idx = lambda j, p: (0, jnp.clip(j - 1 - ja - j1 - j2, 0, jq - 1))
+    in_specs = in_specs + [
+        spec((1, Dm), const),            # next attn norm gamma
+        spec((Dm // 2, bq), q_idx),      # next wqkv packed
+        spec((1, bq), q_idx),
+    ]
+    operands = operands + [jnp.reshape(attn_gamma, (1, Dm)).astype(dt),
+                           wq_p, row(sq, Nq)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1 + ja + j1 + j2 + jq,),
+        in_specs=in_specs + attn_specs,
+        out_specs=[spec((bm, Dm), const), spec((bm, bq), q_idx),
+                   any_spec, any_spec],
+        scratch_shapes=scratch,
+    )
+    out, qkvn, k_new, v_new = pl.pallas_call(
+        functools.partial(_fused_kernel_layer, ja=ja, j1=j1, j2=j2, ba=ba,
+                          bg=bg, bd=bd, eps=eps, b=B, s=S, nkv=KH, rep=rep,
+                          d=D),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, Dm), dt),
+            jax.ShapeDtypeStruct((bm, Nq), dt),
+            jax.ShapeDtypeStruct((B, S, KH * D), jnp.int8),
+            jax.ShapeDtypeStruct((B, S, KH * D), jnp.int8),
+        ],
+        input_output_aliases={len(operands) + len(attn_operands) - 1: 2,
+                              len(operands) + len(attn_operands): 3},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * (A * Dm + 2 * Dm * F + F * Dm + Dm * Nq)
+            + 4 * B * H * D * S,
+            bytes_accessed=(A * Dm + 2 * Dm * F + F * Dm + Dm * Nq) // 2
+            + cbytes + 3 * bm * Dm * 2,
+            transcendentals=bm * F + B * H * S),
+        compiler_params=cparams,
+        interpret=_interpret(),
+    )(pos, *operands, *attn_operands)
+    return (out, qkvn, *unflatten(k_new, v_new))

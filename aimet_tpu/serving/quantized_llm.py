@@ -392,10 +392,39 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
         layers = qw["layers"]
         xn0 = _rms_norm(x, layers[0]["attn_norm"], cfg.norm_eps)
         qkv = _proj(xn0, layers[0]["wqkv"], mode, allow_pallas)
+        merged = attn_kernel_ok and (B * T) % 8 == 0
         for i in range(cfg.n_layers):
             layer = layers[i]
+            wgu_p, s_gu = layer["w_gateup"]
+            last = i == cfg.n_layers - 1
+            nxt = None if last else (layers[i + 1]["wqkv"],
+                                     layers[i + 1]["attn_norm"])
+            c = caches[i]
+            if merged:
+                # the ENTIRE layer in one pallas_call with manually
+                # double-buffered weight streaming: the attention phase
+                # overlaps the first W_o fetches (ops/decode_layer_sol;
+                # the grid-pipelined variant ops/fused_layer.
+                # fused_decode_layer could not overlap — probed 28.5 vs
+                # 14.1 us/layer in context)
+                from ..ops.decode_layer_sol import sol_decode_layer
+                res = sol_decode_layer(
+                    qkv.reshape(B, -1), x.reshape(B * T, -1), c.k, c.v,
+                    c.k_scale, c.v_scale, idx, cos, sin, layer["wo"],
+                    (wgu_p, s_gu), layer["w_down"],
+                    layer["mlp_norm"], eps=cfg.norm_eps, block_a=ba,
+                    block_g=bg, block_d=bd,
+                    n_f=F, next_qkv=nxt, n_heads=H, n_kv_heads=KH)
+                if last:
+                    out, k_new, v_new = res
+                else:
+                    out, qkv2, k_new, v_new = res
+                    qkv = qkv2.reshape(B, T, -1)
+                x = out.reshape(B, T, -1)
+                new_caches.append(QuantizedKVCache(k_new, v_new,
+                                                   c.k_scale, c.v_scale))
+                continue
             if attn_kernel_ok:
-                c = caches[i]
                 raw, k_new, v_new = fused_decode_attention(
                     qkv.reshape(B, -1), cos, sin, c.k, c.v, c.k_scale,
                     c.v_scale, idx, n_heads=H, n_kv_heads=KH)
@@ -405,10 +434,6 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
                 raw, cache = _attention_from_qkv(
                     cfg, layer, qkv, cos, sin, mask, caches[i], cache_index,
                     mode, prefill, allow_pallas, project_out=False)
-            wgu_p, s_gu = layer["w_gateup"]
-            last = i == cfg.n_layers - 1
-            nxt = None if last else (layers[i + 1]["wqkv"],
-                                     layers[i + 1]["attn_norm"])
             out = fused_wo_mlp(
                 raw.reshape(B * T, -1), x.reshape(B * T, -1), layer["wo"],
                 (wgu_p, s_gu[:F]), (wgu_p, s_gu[F:]), layer["w_down"],

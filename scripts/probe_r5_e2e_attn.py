@@ -38,6 +38,8 @@ def main():
     prefill = jax.jit(partial(quantized_forward, prefill=True, mode=MODE),
                       static_argnames=("cfg",))
     logits, caches = prefill(qw, cfg, tokens, caches, 0)
+    from aimet_tpu.ops.kv_cache import flatten_kv_caches
+    caches = flatten_kv_caches(caches)
     tok0 = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
 
     step = jax.jit(partial(quantized_forward, prefill=False, mode=MODE),

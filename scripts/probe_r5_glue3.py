@@ -54,6 +54,49 @@ def decode_step(qw, cfg, tokens, caches, cache_index, variant):
     for i in range(cfg.n_layers):
         layer = layers[i]
         c = caches[i]
+        if variant == "sol":
+            from aimet_tpu.ops.decode_layer_sol import sol_decode_layer
+            wgu_p, s_gu = layer["w_gateup"]
+            last = i == cfg.n_layers - 1
+            nxt = None if last else (layers[i + 1]["wqkv"],
+                                     layers[i + 1]["attn_norm"])
+            res = sol_decode_layer(
+                qkv.reshape(B, -1), x.reshape(B * T, -1), c.k, c.v,
+                c.k_scale, c.v_scale, cache_index, cos, sin, layer["wo"],
+                (wgu_p, s_gu), layer["w_down"], layer["mlp_norm"],
+                eps=cfg.norm_eps, block_a=ba, block_g=bg, block_d=bd,
+                n_f=F, next_qkv=nxt, n_heads=H, n_kv_heads=KH)
+            if last:
+                out, k_new, v_new = res
+            else:
+                out, qkv2, k_new, v_new = res
+                qkv = qkv2.reshape(B, T, -1)
+            x = out.reshape(B, T, -1)
+            new_caches.append(QuantizedKVCache(k_new, v_new, c.k_scale,
+                                               c.v_scale))
+            continue
+        if variant == "merged":
+            from aimet_tpu.ops.fused_layer import fused_decode_layer
+            wgu_p, s_gu = layer["w_gateup"]
+            last = i == cfg.n_layers - 1
+            nxt = None if last else (layers[i + 1]["wqkv"],
+                                     layers[i + 1]["attn_norm"])
+            res = fused_decode_layer(
+                qkv.reshape(B, -1), x.reshape(B * T, -1), c.k, c.v,
+                c.k_scale, c.v_scale, cache_index, cos, sin, layer["wo"],
+                (wgu_p, s_gu[:F]), (wgu_p, s_gu[F:]), layer["w_down"],
+                layer["mlp_norm"], eps=cfg.norm_eps, block_a=ba,
+                block_g=bg, block_d=bd, up_block_offset=F // bg, n_f=F,
+                next_qkv=nxt, n_heads=H, n_kv_heads=KH)
+            if last:
+                out, k_new, v_new = res
+            else:
+                out, qkv2, k_new, v_new = res
+                qkv = qkv2.reshape(B, T, -1)
+            x = out.reshape(B, T, -1)
+            new_caches.append(QuantizedKVCache(k_new, v_new, c.k_scale,
+                                               c.v_scale))
+            continue
         if variant in ("kernel", "nodus", "flat"):
             raw, k_new, v_new = fused_decode_attention(
                 qkv.reshape(B, -1), cos, sin, c.k, c.v, c.k_scale,
@@ -135,18 +178,18 @@ def main():
     # interleave two passes: the chip's clock swings >10% within minutes
     # (pin 0.935 -> 1.087 observed within an hour), so sequential
     # variant timing is meaningless — keep each variant's best
-    for _pass in range(2):
-        for variant in ("kernel", "flat", "xla", "none"):
-            cs = flat_caches if variant == "flat" else caches
+    for _pass in range(4):
+        for variant in ("sol", "flat", "none"):
+            cs = caches if variant in ("xla", "none", "kernel") \
+                else flat_caches
             t = step_time(cfg, qw, cs, tok0, variant)
             res[variant] = min(t, res.get(variant, float("inf")))
             print(f"pass{_pass} {variant:7s}: {t*1e3:.2f} ms/step",
                   flush=True)
     n = cfg.n_layers
-    print(f"attention kernel in-context: "
-          f"{(res['kernel']-res['none'])/n*1e6:.1f} us/layer "
-          f"(xla glue was {(res['xla']-res['none'])/n*1e6:.1f}); "
-          f"dus cost {(res['kernel']-res['nodus'])/n*1e6:.1f} us/layer")
+    print(f"attention in-context us/layer: "
+          f"sol {(res['sol']-res['none'])/n*1e6:.1f}, "
+          f"two-kernel {(res['flat']-res['none'])/n*1e6:.1f}")
 
 
 if __name__ == "__main__":

@@ -82,3 +82,121 @@ def test_fused_wo_mlp_bf16_and_rect_blocks(rng):
     g = np.asarray(got, np.float32)
     r = np.asarray(ref, np.float32)
     assert np.max(np.abs(g - r)) / max(np.max(np.abs(r)), 1e-9) < 0.05
+
+
+def test_fused_decode_layer_matches_pieces():
+    """The whole-layer megakernel (attention phase 0 + WO/MLP + next-qkv)
+    must match the two-kernel composition it replaces."""
+    import numpy as np
+    from aimet_tpu.models.transformer import TransformerConfig, rope_freqs
+    from aimet_tpu.ops.decode_attention_fused import fused_decode_attention
+    from aimet_tpu.ops.fused_layer import fused_decode_layer, fused_wo_mlp
+    from aimet_tpu.ops.int_matmul import quantize_weight_int4
+    from aimet_tpu.ops.kv_cache import init_quantized_kv_cache, prefill_kv
+
+    b, s, h, kh, d = 8, 32, 8, 2, 128
+    dm, f = h * d, 2 * h * d
+    pos = 11
+    cfg = TransformerConfig(vocab_size=64, d_model=dm, n_layers=1,
+                            n_heads=h, n_kv_heads=kh, d_ff=f)
+    rng = np.random.RandomState(0)
+    cache = init_quantized_kv_cache(b, s, kh, d)
+    cache = prefill_kv(cache,
+                       jnp.asarray(rng.randn(b, pos, kh, d), jnp.float32),
+                       jnp.asarray(rng.randn(b, pos, kh, d), jnp.float32),
+                       0)
+    nq = (h + 2 * kh) * d
+    qkv = jnp.asarray(rng.randn(b, nq), jnp.float32).astype(jnp.bfloat16)
+    resid = jnp.asarray(rng.randn(b, dm) * 0.1, jnp.float32
+                        ).astype(jnp.bfloat16)
+    cos, sin = rope_freqs(cfg, jnp.asarray([pos]))
+
+    def rq(k_dim, n_dim):
+        return quantize_weight_int4(
+            jnp.asarray(rng.randn(k_dim, n_dim) * 0.05, jnp.float32))
+
+    wo = rq(h * d, dm)
+    wg = rq(dm, f)
+    wu = rq(dm, f)
+    wd = rq(f, dm)
+    wq = rq(dm, nq)
+    gamma = jnp.asarray(rng.rand(dm) + 0.5, jnp.float32)
+    agamma = jnp.asarray(rng.rand(dm) + 0.5, jnp.float32)
+    blocks = dict(block_a=512, block_g=512, block_d=512)
+
+    # two-kernel reference
+    ao, k_ref, v_ref = fused_decode_attention(
+        qkv, cos, sin, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        jnp.int32(pos), n_heads=h, n_kv_heads=kh)
+    out_ref, qkvn_ref = fused_wo_mlp(
+        ao, resid, wo, wg, wu, wd, gamma, next_qkv=(wq, agamma), **blocks)
+
+    out, qkvn, k_new, v_new = fused_decode_layer(
+        qkv, resid, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        jnp.int32(pos), cos, sin, wo, wg, wu, wd, gamma,
+        next_qkv=(wq, agamma), n_heads=h, n_kv_heads=kh, **blocks)
+
+    np.testing.assert_array_equal(np.asarray(k_new), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_ref))
+    for got, want, name in ((out, out_ref, "out"), (qkvn, qkvn_ref, "qkv")):
+        g = np.asarray(got, np.float32)
+        w = np.asarray(want, np.float32)
+        rel = np.max(np.abs(g - w)) / max(np.max(np.abs(w)), 1e-9)
+        assert rel < 2e-2, (name, rel)
+
+    # last-layer variant (no phase D)
+    out2, k2, v2 = fused_decode_layer(
+        qkv, resid, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        jnp.int32(pos), cos, sin, wo, wg, wu, wd, gamma,
+        n_heads=h, n_kv_heads=kh, **blocks)
+    g = np.asarray(out2, np.float32)
+    w = np.asarray(out, np.float32)
+    assert np.max(np.abs(g - w)) / max(np.max(np.abs(w)), 1e-9) < 2e-2
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k_ref))
+
+
+def test_fused_decode_layer_flat_caches():
+    """Flat (B, S, KH*D) caches round-trip through the megakernel."""
+    import numpy as np
+    from aimet_tpu.models.transformer import TransformerConfig, rope_freqs
+    from aimet_tpu.ops.fused_layer import fused_decode_layer
+    from aimet_tpu.ops.int_matmul import quantize_weight_int4
+    from aimet_tpu.ops.kv_cache import (flatten_kv_caches,
+                                        init_quantized_kv_cache, prefill_kv)
+
+    b, s, h, kh, d = 8, 32, 4, 4, 128
+    dm, f = h * d, 2 * h * d
+    pos = 3
+    cfg = TransformerConfig(vocab_size=64, d_model=dm, n_layers=1,
+                            n_heads=h, n_kv_heads=kh, d_ff=f)
+    rng = np.random.RandomState(1)
+    cache = init_quantized_kv_cache(b, s, kh, d)
+    cache = prefill_kv(cache,
+                       jnp.asarray(rng.randn(b, pos, kh, d), jnp.float32),
+                       jnp.asarray(rng.randn(b, pos, kh, d), jnp.float32),
+                       0)
+    nq = (h + 2 * kh) * d
+    qkv = jnp.asarray(rng.randn(b, nq), jnp.float32).astype(jnp.bfloat16)
+    resid = jnp.zeros((b, dm), jnp.bfloat16)
+    cos, sin = rope_freqs(cfg, jnp.asarray([pos]))
+
+    def rq(k_dim, n_dim):
+        return quantize_weight_int4(
+            jnp.asarray(rng.randn(k_dim, n_dim) * 0.05, jnp.float32))
+
+    args = (rq(h * d, dm), rq(dm, f), rq(dm, f), rq(f, dm),
+            jnp.ones((dm,), jnp.float32))
+    blocks = dict(block_a=512, block_g=512, block_d=512,
+                  n_heads=h, n_kv_heads=kh)
+    out4, k4, v4 = fused_decode_layer(
+        qkv, resid, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        jnp.int32(pos), cos, sin, *args, **blocks)
+    fc = flatten_kv_caches([cache])[0]
+    out3, k3, v3 = fused_decode_layer(
+        qkv, resid, fc.k, fc.v, fc.k_scale, fc.v_scale,
+        jnp.int32(pos), cos, sin, *args, **blocks)
+    assert k3.ndim == 3 and k4.ndim == 4
+    np.testing.assert_array_equal(np.asarray(k3).reshape(k4.shape),
+                                  np.asarray(k4))
+    np.testing.assert_allclose(np.asarray(out3, np.float32),
+                               np.asarray(out4, np.float32), rtol=0, atol=0)
