@@ -63,6 +63,12 @@ WINDOW = 32      # aligned cache-row window for the append writeback DMA
                  # (int8 sublane tiling; S must be a multiple of this)
 
 
+def _group(b: int) -> int:
+    """Attention batch-group size: 16 keeps the cross-batch score block
+    at (16*rep, 16*S) — the O(G^2) padding compute sweet spot."""
+    return 16 if b % 16 == 0 else b
+
+
 def attention_body(pos, qkv_ref, cos_ref, sin_ref, ks_ref, vs_ref,
                    iks_ref, ivs_ref, colb_ref, cols_ref, rowb_ref,
                    kc_out, vc_out, ao_ref,
@@ -132,44 +138,56 @@ def attention_body(pos, qkv_ref, cos_ref, sin_ref, ks_ref, vs_ref,
     kw.start()
     vw.start()
 
-    # --- per-kv-head cross-batch attention
-    diag = colb_ref[:] == rowb_ref[:]                    # (B*rep, B*S)
+    # --- per-kv-head cross-batch attention, in BATCH GROUPS of <= 16:
+    # the cross-batch dot computes a (G*rep, G*S) score block per group,
+    # so its padding compute is O(G^2) in the group size, not O(B^2) —
+    # at batch 32 one (128, 3072) block per head cost ~25 us/layer more
+    # than two (64, 1536) blocks (probed: the b32 roofline inversion)
+    gb = _group(b)
+    diag = colb_ref[:] == rowb_ref[:]                    # (G*rep, G*S)
     valid = diag & (cols_ref[:] <= pos)
     selfc = diag & (cols_ref[:] == pos)                  # new token's column
     inv_sqrt_d = 1.0 / np.sqrt(d)
-    for j in range(kh):
-        q_j = qkv_ref[:, j * rep * d:(j + 1) * rep * d] \
-            .reshape(b * rep, d)                                 # (B*rep, D)
-        q_j = rope(q_j).astype(dt)
-        k_j = kbuf[:, :, j * d:(j + 1) * d].reshape(b * s, d).astype(dt)
-        scores = jax.lax.dot_general(
-            q_j, k_j, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # (B*rep, B*S)
-        # patch the stale ``pos`` column with the directly-computed self
-        # score against the just-quantized K row (int grid, like the dot)
-        kq_rep = jnp.repeat(kq_f[j], rep, axis=0).astype(dt)     # (B*rep, D)
-        self_raw = jnp.sum((q_j * kq_rep).astype(jnp.float32), axis=1,
-                           keepdims=True)                        # (B*rep, 1)
-        scores = jnp.where(selfc, self_raw, scores)
-        ks_col = ks_ref[:, j:j + 1] * inv_sqrt_d                 # (B, 1)
-        ks_row = jnp.repeat(ks_col, rep, axis=0)                 # (B*rep, 1)
-        scores = jnp.where(valid, scores * ks_row, -1e30)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        probs = p / jnp.sum(p, axis=1, keepdims=True)
-        # context: zero the stale column, add its contribution rank-1
-        p_pos = jnp.sum(jnp.where(selfc, probs, 0.0), axis=1,
-                        keepdims=True)                           # (B*rep, 1)
-        probs = jnp.where(selfc, 0.0, probs).astype(dt)
-        v_j = vbuf[:, :, j * d:(j + 1) * d].reshape(b * s, d).astype(dt)
-        ctx = jax.lax.dot_general(
-            probs, v_j, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # (B*rep, D)
-        vq_rep = jnp.repeat(vq_f[j], rep, axis=0)
-        ctx = ctx + p_pos * vq_rep
-        vs_row = jnp.repeat(vs_ref[:, j:j + 1], rep, axis=0)
-        ctx = (ctx * vs_row).astype(dt)
-        ao_ref[:, j * rep * d:(j + 1) * rep * d] = ctx.reshape(b, rep * d)
+    for g in range(b // gb):
+        r0 = g * gb
+        for j in range(kh):
+            q_j = qkv_ref[r0:r0 + gb, j * rep * d:(j + 1) * rep * d] \
+                .reshape(gb * rep, d)                            # (G*rep, D)
+            q_j = rope(q_j).astype(dt)
+            k_j = kbuf[r0:r0 + gb, :, j * d:(j + 1) * d] \
+                .reshape(gb * s, d).astype(dt)
+            scores = jax.lax.dot_general(
+                q_j, k_j, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (G*rep, G*S)
+            # patch the stale ``pos`` column with the directly-computed
+            # self score against the just-quantized K row (int grid,
+            # like the dot)
+            kq_rep = jnp.repeat(kq_f[j][r0:r0 + gb], rep,
+                                axis=0).astype(dt)               # (G*rep, D)
+            self_raw = jnp.sum((q_j * kq_rep).astype(jnp.float32), axis=1,
+                               keepdims=True)                    # (G*rep, 1)
+            scores = jnp.where(selfc, self_raw, scores)
+            ks_col = ks_ref[r0:r0 + gb, j:j + 1] * inv_sqrt_d    # (G, 1)
+            ks_row = jnp.repeat(ks_col, rep, axis=0)             # (G*rep, 1)
+            scores = jnp.where(valid, scores * ks_row, -1e30)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m)
+            probs = p / jnp.sum(p, axis=1, keepdims=True)
+            # context: zero the stale column, add its contribution rank-1
+            p_pos = jnp.sum(jnp.where(selfc, probs, 0.0), axis=1,
+                            keepdims=True)                       # (G*rep, 1)
+            probs = jnp.where(selfc, 0.0, probs).astype(dt)
+            v_j = vbuf[r0:r0 + gb, :, j * d:(j + 1) * d] \
+                .reshape(gb * s, d).astype(dt)
+            ctx = jax.lax.dot_general(
+                probs, v_j, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (G*rep, D)
+            vq_rep = jnp.repeat(vq_f[j][r0:r0 + gb], rep, axis=0)
+            ctx = ctx + p_pos * vq_rep
+            vs_row = jnp.repeat(vs_ref[r0:r0 + gb, j:j + 1], rep, axis=0)
+            ctx = (ctx * vs_row).astype(dt)
+            ao_ref[r0:r0 + gb, j * rep * d:(j + 1) * rep * d] = \
+                ctx.reshape(gb, rep * d)
     kw.wait()
     vw.wait()
 
@@ -188,15 +206,18 @@ def _attn_kernel(pos_ref, qkv_ref, cos_ref, sin_ref, ks_ref, vs_ref,
 
 def attention_operands(cos, sin, k_scale, v_scale, b, s, rep, d):
     """The small VMEM operands the attention phase needs, in kernel
-    order: (cos2, sin2, ks, vs, iks, ivs, colb, cols, rowb)."""
+    order: (cos2, sin2, ks, vs, iks, ivs, colb, cols, rowb). The iota
+    index vectors are sized to the batch GROUP (see _group), not the
+    full batch."""
     D = d
+    gb = _group(b)
     cos2 = jnp.concatenate([cos, cos], -1).reshape(1, D).astype(jnp.float32)
     sin2 = jnp.concatenate([-sin, sin], -1).reshape(1, D).astype(jnp.float32)
-    j = np.arange(b * s, dtype=np.int32)
-    colb = jnp.asarray(j // s).reshape(1, b * s)
-    cols = jnp.asarray(j % s).reshape(1, b * s)
-    rowb = jnp.asarray(np.arange(b * rep, dtype=np.int32) // rep
-                       ).reshape(b * rep, 1)
+    j = np.arange(gb * s, dtype=np.int32)
+    colb = jnp.asarray(j // s).reshape(1, gb * s)
+    cols = jnp.asarray(j % s).reshape(1, gb * s)
+    rowb = jnp.asarray(np.arange(gb * rep, dtype=np.int32) // rep
+                       ).reshape(gb * rep, 1)
     ks32 = k_scale.astype(jnp.float32)
     vs32 = v_scale.astype(jnp.float32)
     return (cos2, sin2, ks32, vs32, 1.0 / ks32, 1.0 / vs32,

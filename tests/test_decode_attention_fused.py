@@ -38,6 +38,7 @@ def _setup(b=4, s=32, h=4, kh=2, d=128, pos=7, seed=0):
     (4, 32, 4, 2, 7),      # GQA rep=2
     (8, 32, 8, 8, 3),      # MHA rep=1
     (4, 64, 8, 2, 63),     # rep=4, append at the last slot
+    (32, 32, 4, 2, 7),     # two batch groups of 16 (O(G^2) grouping)
 ])
 def test_matches_xla_decode_path(b, s, h, kh, pos):
     d = 128
