@@ -33,6 +33,13 @@ Reference parity anchor: this executes what the reference's AdaRound W4
 serving config only simulates (reference quantsim
 TrainingExtensions/torch/src/python/aimet_torch/v1/quantsim.py:218 wraps
 modules with fake-quant; here the lowered integer math IS the model).
+
+NOTE (r5): the production decode path now uses ops/decode_layer_sol.py —
+the same math with MANUAL double-buffered weight DMA, which (unlike this
+grid-pipelined version) can overlap the attention phase with the first
+W_o fetches. fused_wo_mlp and fused_decode_layer remain as the
+grid-pipelined baseline, the probe-documented negative result for
+attention overlap, and the fallback path.
 """
 from __future__ import annotations
 

@@ -54,6 +54,7 @@ class ContinuousBatcher:
         self._uid = 0
         self.pending: List[Request] = []
         self._chunk_fn = None
+        self._admit_fn = None
         self._sched = None
         if use_native:
             from .. import native
@@ -108,33 +109,93 @@ class ContinuousBatcher:
         ``slot``; returns the first generated token."""
         return self._prefill_batch([slot], [req])[0]
 
+    @staticmethod
+    def _wave_quota(n: int) -> int:
+        """Largest power of two <= n: admission waves come in AT MOST
+        log2(num_slots)+1 distinct batch shapes, so the (expensive, at 8B
+        ~tens of seconds even kernel-cache-warm) whole-graph prefill
+        compiles a bounded set of programs. Unrestricted wave sizes
+        compiled a fresh 8B prefill for nearly every admission — the
+        first driver capture ran at 25 tok/s, ~100x below the decode
+        rate, almost entirely compile time."""
+        p = 1
+        while p * 2 <= n:
+            p *= 2
+        return p
+
     def _prefill_batch(self, slots: List[int], reqs: List[Request]
                        ) -> List[int]:
         """Admit a WAVE of requests with one batched prefill call: prompts
-        are right-padded to the wave's max length (the per-slot position
-        masks out padding rows), cache rows written per slot. One device
-        round-trip per wave instead of one per request — through a
+        are right-padded to the wave's max length rounded up to a
+        multiple of 32 (the per-slot position masks out padding rows, and
+        rows past each prompt's length are overwritten by decode appends
+        before they can be attended), cache rows written per slot. One
+        device round-trip per wave instead of one per request — through a
         high-latency link (axon relay: ~200 ms/fetch) per-request
-        admission would dominate the whole engine."""
+        admission would dominate the whole engine. Wave sizes and padded
+        lengths are bucketed so the set of compiled prefill shapes stays
+        small."""
         llm = self.llm
-        maxlen = max(len(r.prompt) for r in reqs)
+        real_max = max(len(r.prompt) for r in reqs)
+        maxlen = -(-real_max // 32) * 32
+        if maxlen > llm.max_len - 1:     # rounding must not exceed the cache
+            maxlen = real_max
         toks = np.zeros((len(reqs), maxlen), np.int32)
         for i, r in enumerate(reqs):
             toks[i, :len(r.prompt)] = r.prompt
-        k_caches = llm.new_caches(len(reqs))
         lengths = jnp.asarray([len(r.prompt) for r in reqs], jnp.int32)
-        logits, k_caches = llm._prefill(llm.qw, llm.cfg,
-                                        jnp.asarray(toks), k_caches, 0,
-                                        prompt_lengths=lengths)
-        # first generated token comes from each prompt's LAST real row
-        last = jnp.asarray([len(r.prompt) - 1 for r in reqs], jnp.int32)
-        first = np.asarray(jnp.argmax(
-            logits[jnp.arange(len(reqs)), last], axis=-1), np.int32)
         rows = jnp.asarray(slots, jnp.int32)
-        self.caches = [
-            jtu.tree_map(lambda full, kc: full.at[rows].set(kc), c, kc)
-            for c, kc in zip(self.caches, k_caches)]
-        return [int(t) for t in first]
+        first, self.caches = self._admit(jnp.asarray(toks), lengths, rows,
+                                         self.caches)
+        return [int(t) for t in np.asarray(first)]
+
+    def _admit(self, toks, lengths, rows, caches):
+        """ONE jitted dispatch for the whole admission wave: wave-cache
+        init + prefill + first-token argmax + scatter into the slot
+        caches. Done piecewise, the ~2*n_layers eager scatter ops each
+        paid a host<->device round-trip (axon relay ~200 ms): a 32-layer
+        admission cost ~6 s of pure dispatch latency (probed small-scale,
+        5.5 s/wave at 4 layers is the same effect). The wave caches are
+        donated so the scatter updates the slot caches in place."""
+        if self._admit_fn is None:
+            llm = self.llm
+
+            def admit(qw, toks, lengths, rows, caches):
+                from ..ops.kv_cache import init_quantized_kv_cache
+                n = toks.shape[0]
+                kc = [init_quantized_kv_cache(
+                    n, llm.max_len, llm.cfg.n_kv_heads, llm.cfg.head_dim)
+                    for _ in range(llm.cfg.n_layers)]
+                logits, kc = quantized_forward(
+                    qw, llm.cfg, toks, kc, 0, prefill=True, mode=llm.mode,
+                    prompt_lengths=lengths)
+                first = jnp.argmax(
+                    logits[jnp.arange(n), lengths - 1], axis=-1
+                ).astype(jnp.int32)
+                new = [jtu.tree_map(lambda full, k: full.at[rows].set(k),
+                                    c, kci)
+                       for c, kci in zip(caches, kc)]
+                return first, new
+            self._admit_fn = jax.jit(admit, static_argnames=(),
+                                     donate_argnums=(4,))
+        return self._admit_fn(self.llm.qw, toks, lengths, rows, caches)
+
+    def warm_admission(self, wave_sizes=(1, 2, 4, 8, 16),
+                       prompt_len: int = 32):
+        """Precompile the admission-wave shapes (power-of-two buckets,
+        see _wave_quota) outside any latency-sensitive region. Writes
+        dummy rows into slot 0's cache — safe before real traffic: the
+        slot is free, so the rows are never attended, and the first real
+        admission overwrites them."""
+        wl = min(-(-prompt_len // 32) * 32, self.llm.max_len - 1)
+        for n in wave_sizes:
+            if n > self.num_slots:
+                continue
+            first, self.caches = self._admit(
+                jnp.zeros((n, wl), jnp.int32),
+                jnp.full((n,), min(prompt_len, wl), jnp.int32),
+                jnp.zeros((n,), jnp.int32), self.caches)
+            np.asarray(first[0:1])
 
     def _decode_tokens(self):
         """One device round-trip: K = step_chunk decode steps in one jit.
@@ -190,10 +251,11 @@ class ContinuousBatcher:
         round-trip."""
         if self._sched is not None:
             return self._step_native()
+        free = self._free_slots()
+        quota = self._wave_quota(min(len(free), len(self.pending))) \
+            if free and self.pending else 0
         wave = []
-        for slot in self._free_slots():
-            if not self.pending:
-                break
+        for slot in free[:quota]:
             wave.append((slot, self.pending.pop(0)))
         if wave:
             firsts = self._prefill_batch([s for s, _ in wave],
@@ -220,9 +282,13 @@ class ContinuousBatcher:
     def _step_native(self):
         sched = self._sched
         # admit at most the number of slots free at step start, matching the
-        # Python reference (slots freed mid-admission wait one step)
+        # Python reference (slots freed mid-admission wait one step),
+        # bucketed to power-of-two wave sizes (see _wave_quota)
+        free = self.num_slots - sched.num_active
+        quota = self._wave_quota(min(free, sched.num_pending)) \
+            if free and sched.num_pending else 0
         wave = []
-        for _ in range(self.num_slots - sched.num_active):
+        for _ in range(quota):
             slot, uid = sched.admit()
             if slot < 0:
                 break

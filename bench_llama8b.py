@@ -19,6 +19,17 @@ prefill -> int8-MXU w4a8 fusedq) and ops/kv_cache.py INT8 KV.
 Reports tokens/s and the fraction of the v5e HBM roofline (~819 GB/s) the
 decode step sustains for its weight+KV traffic.
 
+Roofline note (r5 analysis): after the whole-layer single-pallas-call
+step (ops/decode_layer_sol.py) removed all per-layer XLA glue, batch 16
+is MXU-COMPUTE-bound, not HBM-bound: the layer's ~7 GFLOP of M=16 dots
+run at ~40 TF/s effective (1/8 of the MXU's 128 rows populated) ≈ 175
+us/layer vs 136 us of pure DMA — consistent with batch 32 decoding 2x
+the tokens at nearly the same step time (6.33 vs 6.59 ms, 74% vs 72% of
+the HBM roofline). The residual HBM-roofline gap at b16 is therefore a
+compute ceiling, not scheduling slack; the next lever would be int8-MXU
+dots (2x peak), which probed SLOWER at decode M for these shapes
+(commit 6b40828: fusedq 7.57 vs weight-only 5.92 ms model-matmul total).
+
 Prints one JSON line:
   {"metric": "llama8b_w4a8_decode_tok_s", "value": ..., "unit": "tok/s",
    "roofline_frac": ..., "gbps": ...}
@@ -212,8 +223,14 @@ def continuous_batching(num_slots=16, step_chunk=16, n_requests=48,
         reqs.append(b.submit(list(rng.randint(0, cfg.vocab_size,
                                               prompt_len)),
                              max_new_tokens=int(lens[i])))
-    # warm the compiles (prefill wave + chunk) outside the timed region:
-    # one engine step admits the first wave and decodes one chunk
+    # warm the compiles outside the timed region: the batcher admits in
+    # power-of-two wave buckets (serving/batcher._wave_quota), so
+    # precompile every bucket's admission graph (production engines AOT-
+    # warm their shape buckets the same way; at 8B each whole-graph
+    # compile costs tens of seconds and would otherwise land mid-run —
+    # the first driver capture read 25 tok/s, ~all of it compile time),
+    # then one engine step warms the first wave + decode chunk
+    b.warm_admission(prompt_len=prompt_len)
     b.step()
     t0 = time.perf_counter()
     steps = b.run_until_done(max_steps=4000)
