@@ -202,7 +202,7 @@ def prefill_mfu(batch=8, seq=512, reps=3, quiet=False):
     return out
 
 
-def continuous_batching(num_slots=16, step_chunk=16, n_requests=48,
+def continuous_batching(num_slots=16, step_chunk=8, n_requests=48,
                         prompt_len=32, quiet=False):
     """8B continuous-batching throughput (VERDICT r4 next #7): the
     ContinuousBatcher + C++ scheduler over the 8B quantized weights with
@@ -230,15 +230,15 @@ def continuous_batching(num_slots=16, step_chunk=16, n_requests=48,
     # compile costs tens of seconds and would otherwise land mid-run —
     # the first driver capture read 25 tok/s, ~all of it compile time),
     # then one engine step warms the first wave + decode chunk
-    b.warm_admission(prompt_len=prompt_len)
-    b.step()
+    b.warm_admission(prompt_len=prompt_len, pipelined=True)
     t0 = time.perf_counter()
-    steps = b.run_until_done(max_steps=4000)
+    # pipelined engine: chunk n+1 dispatched from the device-side carry
+    # BEFORE chunk n's tokens are fetched, hiding the ~200 ms relay
+    # round-trip behind device compute (serving/batcher.run_pipelined)
+    steps = b.run_pipelined(max_steps=4000)
     dt = time.perf_counter() - t0
     assert all(r.done for r in reqs), "continuous batching did not drain"
-    total_after_warm = sum(len(r.generated) for r in reqs)
-    warm_tokens = num_slots * (1 + step_chunk)   # first wave's share
-    toks = total_after_warm - warm_tokens
+    toks = sum(len(r.generated) for r in reqs)
     tok_s = toks / dt
     slot_steps = steps * step_chunk * num_slots
     util = toks / max(slot_steps, 1)

@@ -130,6 +130,32 @@ class TestContinuousBatching:
         for rb, rc in zip(base, chunked):
             assert rb.generated == rc.generated, (rb.generated, rc.generated)
 
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_pipelined_matches_per_step(self, tiny_model, rng, use_native):
+        """run_pipelined (speculative chunk dispatch, device-side carry):
+        per-request tokens identical to the per-step engine — scheduling
+        may differ (admissions land one chunk later) but each request's
+        greedy chain depends only on its own prompt and cache rows."""
+        cfg, model, variables = tiny_model
+        llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
+        prompts = [list(rng.randint(0, 64, int(n))) for n in (4, 6, 3, 5, 4)]
+        lens = (5, 3, 7, 4, 6)
+
+        b0 = ContinuousBatcher(llm, num_slots=2, use_native=use_native,
+                               step_chunk=1)
+        base = [b0.submit(p, max_new_tokens=n)
+                for p, n in zip(prompts, lens)]
+        b0.run_until_done(max_steps=200)
+
+        b1 = ContinuousBatcher(llm, num_slots=2, use_native=use_native,
+                               step_chunk=4)
+        piped = [b1.submit(p, max_new_tokens=n)
+                 for p, n in zip(prompts, lens)]
+        steps = b1.run_pipelined(max_steps=200)
+        assert all(r.done for r in piped) and steps < 200
+        for rb, rc in zip(base, piped):
+            assert rb.generated == rc.generated, (rb.generated, rc.generated)
+
     def test_batcher_matches_unbatched_generation(self, tiny_model, rng):
         cfg, model, variables = tiny_model
         llm = QuantizedLLM(variables, cfg, mode="w8", max_len=32)
