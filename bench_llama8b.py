@@ -147,6 +147,17 @@ def run(batch=BATCH, mode=MODE, reps=4, quiet=False):
 def prefill_mfu(batch=8, seq=512, reps=3, quiet=False):
     """Whole-model steady-state prefill throughput (VERDICT r4 next #4):
     batch*seq >= 4k tokens, compute-bound, on the int8-MXU w4a8 path.
+
+    Gap analysis (r5, 53% of int8 peak at 8x512): the w4a8 fusedq kernel
+    microbenches at ~390 TF/s (99% of boost int8 peak) at M=1024; the
+    whole model sustains ~210. The difference is (a) unfused prefill
+    attention — XLA materializes (B, H, S, S) f32 scores+probs, ~17 GB
+    of HBM traffic per forward at these shapes (~7% of step time alone),
+    (b) per-layer norms/rope/KV-quantize glue between the quantized
+    matmuls, and (c) per-row activation quantize on every matmul input.
+    Larger token counts would amortize (b) but 16x512 already OOMs on
+    the 16 GB chip (the (tokens, 128256) f32 logits buffer); a prefill
+    flash-attention kernel is the next lever and is future work.
     Slope method: a python chain of prefills (caches threaded through for
     ordering) dispatches asynchronously; only the final fetch syncs, so
     t(n1)-t(n0) is pure device time. Reports TFLOP/s over the model's
