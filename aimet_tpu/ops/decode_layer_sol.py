@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .decode_attention_fused import (WINDOW, attention_body,
                                      attention_operands, attention_scratch)
 from .fused_layer import _split_half, _w4_block
-from .int_matmul import _interpret
+from .int_matmul import _and_nibbles, _interpret
 
 
 class _Val:
@@ -52,6 +52,35 @@ class _Val:
         return self.v
 
 
+def _quant_rows(x):
+    """Per-row symmetric int8 quantize of a phase input (M, K), plus the
+    lo-half int32 rowsum the biased-nibble epilogue needs. Same math as
+    _w4a8_fusedq_kernel's j==0 block (ops/int_matmul.py)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    k2 = xq.shape[1] // 2
+    rsq = jnp.sum(xq[:, :k2].astype(jnp.int32), axis=1, keepdims=True)
+    return xq, scale, rsq
+
+
+def _w4_block_i8(xq, rsq, sx, w_val, s_val):
+    """One N-block of the INT4 matmul on the int8 MXU path: two int8
+    ANDs extract the biased nibble planes, two int8xint8->int32 dots,
+    exact combine in int32 (the hi plane carries a 16x factor removed by
+    an arithmetic shift — int32 shifts are Mosaic-legal, int8 are not).
+    2x the MXU rate of the bf16 dots at decode M, where the whole-layer
+    kernel is compute-bound (M=16 fills 1/8 of the MXU rows)."""
+    lo_b, hi16 = _and_nibbles(w_val)
+    k2 = w_val.shape[0]
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    total = (dot(xq[:, :k2], lo_b) - 8 * rsq
+             + jax.lax.shift_right_arithmetic(dot(xq[:, k2:], hi16), 4))
+    return total.astype(jnp.float32) * sx * s_val
+
+
 def _sol_kernel(pos_ref, qkv_ref, resid_ref, gamma_ref, agamma_ref,
                 so_ref, sgu_ref, sd_ref, sq_ref,
                 cos_ref, sin_ref, ks_ref, vs_ref, iks_ref, ivs_ref,
@@ -62,10 +91,25 @@ def _sol_kernel(pos_ref, qkv_ref, resid_ref, gamma_ref, agamma_ref,
                 kbuf, vbuf, kwin, vwin, asem,
                 wo_buf, g_buf, u_buf, wd_buf, wq_buf, wsem,
                 *, b, s, nkv, rep, d, dm, f, nq, ba, bg, bd, bq, eps,
-                has_qkv):
+                has_qkv, int8_dots):
     ja, j1, j2 = dm // ba, f // bg, dm // bd
     jq = nq // bq if has_qkv else 0
     dt = resid_ref.dtype
+
+    if int8_dots:
+        def prep(x):
+            return _quant_rows(x)
+
+        def blk(prepped, w_val, s_val):
+            xq, sx, rsq = prepped
+            return _w4_block_i8(xq, rsq, sx, w_val, s_val)
+    else:
+        def prep(x):
+            return _split_half(x, dt)
+
+        def blk(prepped, w_val, s_val):
+            x_lo, x_hi, rs = prepped
+            return _w4_block(x_lo, x_hi, rs, _Val(w_val), _Val(s_val))
 
     def fetch(dst, src, cols, width, sem):
         cp = pltpu.make_async_copy(
@@ -84,7 +128,7 @@ def _sol_kernel(pos_ref, qkv_ref, resid_ref, gamma_ref, agamma_ref,
                    b=b, s=s, kh=nkv, rep=rep, d=d)
 
     # --- phase A: y = resid + ao @ W_o
-    x_lo, x_hi, rs = _split_half(ao_ref[:], dt)
+    pa = prep(ao_ref[:])
     g_dma = {}
     u_dma = {}
     for i in range(ja):
@@ -95,15 +139,15 @@ def _sol_kernel(pos_ref, qkv_ref, resid_ref, gamma_ref, agamma_ref,
             g_dma[0] = fetch(g_buf.at[0], wgu_hbm, 0, bg, wsem.at[2])
             u_dma[0] = fetch(u_buf.at[0], wgu_hbm, f, bg, wsem.at[4])
         wo_dma[i].wait()
-        yb = _w4_block(x_lo, x_hi, rs, _Val(wo_buf[i % 2]),
-                       _Val(so_ref[:, pl.ds(i * ba, ba)])).astype(dt)
+        yb = blk(pa, wo_buf[i % 2],
+                 so_ref[:, pl.ds(i * ba, ba)]).astype(dt)
         y_ref[:, pl.ds(i * ba, ba)] = yb + resid_ref[:, pl.ds(i * ba, ba)]
 
     # --- phase B: h = silu(gate) * up, input rmsnorm(y) computed ONCE
     yf = y_ref[:].astype(jnp.float32)
     r = jax.lax.rsqrt(jnp.mean(yf * yf, axis=1, keepdims=True) + eps)
     yhat = ((yf * r).astype(dt) * gamma_ref[:]).astype(dt)
-    y_lo, y_hi, yrs = _split_half(yhat, dt)
+    py = prep(yhat)
     wd_dma = {}
     for i in range(j1):
         if i + 1 < j1:
@@ -116,15 +160,13 @@ def _sol_kernel(pos_ref, qkv_ref, resid_ref, gamma_ref, agamma_ref,
             wd_dma[0] = fetch(wd_buf.at[0], wd_hbm, 0, bd, wsem.at[6])
         g_dma[i].wait()
         u_dma[i].wait()
-        gate = _w4_block(y_lo, y_hi, yrs, _Val(g_buf[i % 2]),
-                         _Val(sgu_ref[:, pl.ds(i * bg, bg)]))
-        up = _w4_block(y_lo, y_hi, yrs, _Val(u_buf[i % 2]),
-                       _Val(sgu_ref[:, pl.ds(f + i * bg, bg)]))
+        gate = blk(py, g_buf[i % 2], sgu_ref[:, pl.ds(i * bg, bg)])
+        up = blk(py, u_buf[i % 2], sgu_ref[:, pl.ds(f + i * bg, bg)])
         hb = gate * jax.lax.logistic(gate) * up
         h_ref[:, pl.ds(i * bg, bg)] = hb.astype(h_ref.dtype)
 
     # --- phase C: out = y + h @ W_down
-    h_lo, h_hi, hrs = _split_half(h_ref[:], dt)
+    ph = prep(h_ref[:])
     wq_dma = {}
     for i in range(j2):
         if i + 1 < j2:
@@ -133,8 +175,8 @@ def _sol_kernel(pos_ref, qkv_ref, resid_ref, gamma_ref, agamma_ref,
         elif has_qkv:
             wq_dma[0] = fetch(wq_buf.at[0], wq_hbm, 0, bq, wsem.at[8])
         wd_dma[i].wait()
-        ob = _w4_block(h_lo, h_hi, hrs, _Val(wd_buf[i % 2]),
-                       _Val(sd_ref[:, pl.ds(i * bd, bd)])).astype(dt)
+        ob = blk(ph, wd_buf[i % 2],
+                 sd_ref[:, pl.ds(i * bd, bd)]).astype(dt)
         out_ref[:, pl.ds(i * bd, bd)] = ob + y_ref[:, pl.ds(i * bd, bd)]
 
     # --- phase D: next layer's attn-norm + QKV projection
@@ -142,33 +184,38 @@ def _sol_kernel(pos_ref, qkv_ref, resid_ref, gamma_ref, agamma_ref,
         of = out_ref[:].astype(jnp.float32)
         r2 = jax.lax.rsqrt(jnp.mean(of * of, axis=1, keepdims=True) + eps)
         ohat = ((of * r2).astype(dt) * agamma_ref[:]).astype(dt)
-        o_lo, o_hi, ors = _split_half(ohat, dt)
+        po = prep(ohat)
         for i in range(jq):
             if i + 1 < jq:
                 wq_dma[i + 1] = fetch(wq_buf.at[(i + 1) % 2], wq_hbm,
                                       (i + 1) * bq, bq,
                                       wsem.at[8 + (i + 1) % 2])
             wq_dma[i].wait()
-            qb = _w4_block(o_lo, o_hi, ors, _Val(wq_buf[i % 2]),
-                           _Val(sq_ref[:, pl.ds(i * bq, bq)]))
+            qb = blk(po, wq_buf[i % 2], sq_ref[:, pl.ds(i * bq, bq)])
             qkvn_ref[:, pl.ds(i * bq, bq)] = qb.astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "eps", "block_a", "block_g", "block_d", "block_q", "n_f",
-    "n_heads", "n_kv_heads"))
+    "n_heads", "n_kv_heads", "int8_dots"))
 def sol_decode_layer(qkv, resid, k_cache, v_cache, k_scale, v_scale,
                      cache_index, cos, sin,
                      wo_pair, gateup_pair, down_pair, mlp_gamma,
                      *, eps: float = 1e-5, block_a: int = 2048,
                      block_g: int = 1024, block_d: int = 512,
                      block_q: int = 0, n_f: int = 0, next_qkv=None,
-                     n_heads: int, n_kv_heads: int):
+                     n_heads: int, n_kv_heads: int,
+                     int8_dots: bool = False):
     """One ENTIRE decode layer, manually streamed (see module docstring).
 
     ``gateup_pair``: the packed (D/2, 2F) concatenated gate|up array with
     its (2F,) scales (serving's w_gateup layout). Other operands as
     ops/fused_layer.fused_decode_layer. Caches flat (B, S, KH*D) or 4D.
+
+    ``int8_dots=True`` runs the projections on the int8 MXU path with
+    per-row in-kernel activation quantization (true W4A8 — the same
+    numerics as ops/int_matmul.matmul_w4a8): at decode M the kernel is
+    MXU-compute-bound, and int8 dots run at 2x the bf16 rate.
     """
     H, KH = n_heads, n_kv_heads
     flat = k_cache.ndim == 3
@@ -242,7 +289,8 @@ def sol_decode_layer(qkv, resid, k_cache, v_cache, k_scale, v_scale,
     out, qkvn, k_new, v_new = pl.pallas_call(
         functools.partial(
             _sol_kernel, b=B, s=S, nkv=KH, rep=rep, d=D, dm=Dm, f=F,
-            nq=Nq, ba=ba, bg=bg, bd=bd, bq=bq, eps=eps, has_qkv=has_qkv),
+            nq=Nq, ba=ba, bg=bg, bd=bd, bq=bq, eps=eps, has_qkv=has_qkv,
+            int8_dots=int8_dots),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Dm), dt),

@@ -414,7 +414,10 @@ def quantized_forward(qw, cfg: TransformerConfig, tokens,
                     (wgu_p, s_gu), layer["w_down"],
                     layer["mlp_norm"], eps=cfg.norm_eps, block_a=ba,
                     block_g=bg, block_d=bd,
-                    n_f=F, next_qkv=nxt, n_heads=H, n_kv_heads=KH)
+                    n_f=F, next_qkv=nxt, n_heads=H, n_kv_heads=KH,
+                    # w4a8 mode = TRUE int8 activations (the decode
+                    # step is MXU-bound at small M; int8 dots are 2x)
+                    int8_dots=(mode == "w4a8"))
                 if last:
                     out, k_new, v_new = res
                 else:

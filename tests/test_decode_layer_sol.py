@@ -98,3 +98,59 @@ def test_sol_last_layer_and_flat_caches():
     w = np.asarray(out_ref, np.float32)
     assert np.max(np.abs(g - w)) / max(np.max(np.abs(w)), 1e-9) < 2e-2
     np.testing.assert_array_equal(np.asarray(k4), np.asarray(k_ref))
+
+
+def test_sol_int8_dots_matches_w4a8_composition():
+    """int8_dots=True must reproduce the true-W4A8 composition: each
+    projection quantizes its input per-row onto the int8 MXU path
+    (numerics of ops/int_matmul.matmul_w4a8)."""
+    from aimet_tpu.ops.int_matmul import matmul_w4a8_xla
+
+    (b, s, h, kh, d, dm, f, pos, cache, qkv, resid, cos, sin,
+     wo, wg, wu, wgu, wd, wq, gamma, agamma) = _setup(seed=5)
+    blocks = dict(block_a=512, block_g=512, block_d=512)
+
+    # reference: attention kernel + per-matmul w4a8 + XLA glue
+    ao, k_ref, v_ref = fused_decode_attention(
+        qkv, cos, sin, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        jnp.int32(pos), n_heads=h, n_kv_heads=kh)
+
+    def rmsnorm(x, g):
+        import jax
+        xf = x.astype(jnp.float32)
+        r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + 1e-5)
+        return ((xf * r).astype(x.dtype) * g).astype(x.dtype)
+
+    def mm(x, pair):
+        wq_, sc = pair
+        return matmul_w4a8_xla(x, wq_, sc).astype(x.dtype)
+
+    import jax
+    y = resid + mm(ao, wo)
+    yh = rmsnorm(y, gamma)
+    gate = mm(yh, wg).astype(jnp.float32)
+    up = mm(yh, wu).astype(jnp.float32)
+    hmid = (gate * jax.nn.sigmoid(gate) * up).astype(qkv.dtype)
+    out_ref_v = y + mm(hmid, wd)
+    qkvn_ref = mm(rmsnorm(out_ref_v, agamma), wq)
+
+    out, qkvn, k_new, v_new = sol_decode_layer(
+        qkv, resid, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        jnp.int32(pos), cos, sin, wo, wgu, wd, gamma,
+        next_qkv=(wq, agamma), n_heads=h, n_kv_heads=kh,
+        int8_dots=True, **blocks)
+
+    np.testing.assert_array_equal(np.asarray(k_new), np.asarray(k_ref))
+    # tolerance note: the kernel quantizes activations computed through
+    # its own (bf16-stored) intermediates, so per-row quantize decisions
+    # differ slightly from the reference chain's — measured, the int8
+    # kernel sits at the SAME distance from the w4a8 reference (3.9%
+    # max, 1.1e-3 rel-MSE) as the bf16 kernel does (3.2%, 0.9e-3):
+    # inherent W4A8 activation-quant noise, not a defect
+    for got, want, name in ((out, out_ref_v, "out"),
+                            (qkvn, qkvn_ref, "qkv")):
+        g = np.asarray(got, np.float32)
+        w = np.asarray(want, np.float32)
+        relmax = np.max(np.abs(g - w)) / max(np.max(np.abs(w)), 1e-9)
+        relmse = np.mean((g - w) ** 2) / max(np.mean(w ** 2), 1e-12)
+        assert relmax < 6e-2 and relmse < 3e-3, (name, relmax, relmse)
